@@ -1,0 +1,86 @@
+"""Render configuration with the reference's diff-merge semantics.
+
+Mirrors ``RaytracingConfig`` (src/raytracing.rs:91-200) and
+``PostProcessingConfig`` (src/post_processing.rs:6-23).
+
+The ``apply`` merge only copies fields that differ from the *defaults*
+(last-writer-wins layering: compiled defaults → scene JSON → CLI overrides →
+live edits), exactly like src/raytracing.rs:129-185.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+from .utils.mathutil import approx_equal
+
+
+@dataclass
+class RaytracingConfig:
+    monte_carlo: bool = False
+    samples: int = 1
+    focal_length: float = 1.0
+    aperture_size: float = 1.0
+    fog_density: float = 0.0
+    fog_color: tuple = (0.4, 0.4, 0.4)
+    max_recursion: int = 6
+    gamma_correction: bool = False
+
+    def apply(self, new: "RaytracingConfig") -> None:
+        """Diff-vs-default merge — src/raytracing.rs:129-185."""
+        d = RaytracingConfig()
+        if d.monte_carlo != new.monte_carlo:
+            self.monte_carlo = new.monte_carlo
+        if d.samples != new.samples:
+            self.samples = new.samples
+        if not approx_equal(d.focal_length, new.focal_length):
+            self.focal_length = new.focal_length
+        if not approx_equal(d.aperture_size, new.aperture_size):
+            self.aperture_size = new.aperture_size
+        if not approx_equal(d.fog_density, new.fog_density):
+            self.fog_density = new.fog_density
+        if any(not approx_equal(a, b) for a, b in zip(d.fog_color, new.fog_color)):
+            self.fog_color = tuple(new.fog_color)
+        if d.max_recursion != new.max_recursion:
+            self.max_recursion = new.max_recursion
+        if d.gamma_correction != new.gamma_correction:
+            self.gamma_correction = new.gamma_correction
+
+    def copy(self) -> "RaytracingConfig":
+        return dataclasses.replace(self)
+
+    def print(self) -> None:  # src/raytracing.rs:187-200
+        for f in dataclasses.fields(self):
+            print(f"{f.name}: {getattr(self, f.name)}")
+
+
+@dataclass
+class PostProcessingConfig:
+    cavity: bool = False
+    outline: bool = False
+
+    def copy(self) -> "PostProcessingConfig":
+        return dataclasses.replace(self)
+
+
+@dataclass
+class EngineConfig:
+    """TPU-engine knobs with no reference counterpart (new framework).
+
+    - ``chunk_pixels``: pixels per device dispatch (rays per chunk =
+      chunk_pixels; samples are looped inside the chunk).
+    - ``queue_factor``: per-bounce ray-queue capacity as a multiple of the
+      chunk's primary-ray count.  The Whitted ray tree can branch 2× per
+      bounce; live rays beyond the cap are dropped lowest-weight-first.
+      Raise for exact small renders (tests use 64 = full tree).
+    - ``tri_tile``: triangles per inner intersection tile (static scan step).
+    - ``seed``: base RNG seed for deterministic, replayable Monte-Carlo.
+    - ``use_bvh_min_items``: object count above which the BVH path is used
+      (reference BVH_MIN_ITEMS=50, src/raytracing.rs:23).
+    """
+    chunk_pixels: int = 65536
+    queue_factor: float = 4.0
+    tri_tile: int = 2048
+    seed: int = 0
+    use_bvh_min_items: int = 50
+    deterministic: bool = True

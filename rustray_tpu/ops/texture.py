@@ -1,0 +1,94 @@
+"""Texture-atlas sampling replicating the reference's fetch paths.
+
+- nearest + wrap: src/raytracing.rs:629-642 (truncating modulo wrap) via
+  ``get_texture_pixel`` (src/shape/mod.rs:510-540).
+- bilinear: src/shape/mod.rs:542-629 — note its quirks are preserved exactly:
+  negative coords get +size once, floor/ceil texels are clamped to the edge
+  *before* the fractional weight is taken against the clamped x0, so
+  out-of-range UVs extrapolate at borders exactly like the reference.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .intersect import dot
+
+
+def _fetch(texels, offset, w, x, y):
+    """Gather packed-rgba texels → (…, 4) float in [0, 1]."""
+    idx = offset + y * w + x
+    packed = texels[jnp.clip(idx, 0, texels.shape[0] - 1)]
+    packed = packed.astype(jnp.uint32)
+    r = (packed & 0xFF).astype(jnp.float32)
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+    b = ((packed >> 16) & 0xFF).astype(jnp.float32)
+    a = ((packed >> 24) & 0xFF).astype(jnp.float32)
+    return jnp.stack([r, g, b, a], axis=-1) / 255.0
+
+
+def _wrap(val, bound):
+    """Rust wrap (src/raytracing.rs:629-642): trunc(val*bound) % bound,
+    shifted positive.  ``bound`` int32 > 0."""
+    f = val * bound.astype(jnp.float32)
+    w = jnp.trunc(f).astype(jnp.int32) % bound
+    return jnp.where(w < 0, w + bound, w)
+
+
+def sample_nearest(texels, offset, w, h, u, v):
+    x = _wrap(u, w)
+    y = _wrap(v, h)
+    return _fetch(texels, offset, w, x, y)
+
+
+def sample_bilinear(texels, offset, w, h, u, v):
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = u * wf
+    y = v * hf
+    x = jnp.where(x < 0.0, x + wf, x)
+    y = jnp.where(y < 0.0, y + hf, y)
+
+    # floor/ceil as-u32 cast saturates at 0 for negatives (Rust `as u32`)
+    x0 = jnp.clip(jnp.floor(x), 0.0, None).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(x), 0.0, None).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0.0, None).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(y), 0.0, None).astype(jnp.int32)
+    x0 = jnp.minimum(x0, w - 1)
+    x1 = jnp.minimum(x1, w - 1)
+    y0 = jnp.minimum(y0, h - 1)
+    y1 = jnp.minimum(y1, h - 1)
+
+    xf = x - x0.astype(jnp.float32)
+    yf = y - y0.astype(jnp.float32)
+
+    p0 = _fetch(texels, offset, w, x0, y0)
+    p1 = _fetch(texels, offset, w, x1, y0)
+    p2 = _fetch(texels, offset, w, x0, y1)
+    p3 = _fetch(texels, offset, w, x1, y1)
+
+    top = p0 + xf[..., None] * (p1 - p0)
+    bot = p2 + xf[..., None] * (p3 - p2)
+    return top + yf[..., None] * (bot - top)
+
+
+def get_tex_color(sa, mat_idx, tex_type: int, uv):
+    """Per-ray texture fetch.  Returns (rgba (N,4), has (N,) bool).
+
+    Matches ``Raytracing::get_tex_color`` (src/raytracing.rs:651-675):
+    nearest-vs-bilinear is a per-material flag; ``has`` is False when the
+    material has no texture in this slot (caller falls back to defaults).
+    """
+    offset = sa.materials.tex_offset[mat_idx, tex_type]
+    w = sa.materials.tex_w[mat_idx, tex_type]
+    h = sa.materials.tex_h[mat_idx, tex_type]
+    has = w > 0
+    w_safe = jnp.maximum(w, 1)
+    h_safe = jnp.maximum(h, 1)
+    u, v = uv[..., 0], uv[..., 1]
+    nearest = sa.materials.tex_nearest[mat_idx]
+    rgba_n = sample_nearest(sa.tex_texels, offset, w_safe, h_safe, u, v)
+    rgba_b = sample_bilinear(sa.tex_texels, offset, w_safe, h_safe, u, v)
+    rgba = jnp.where(nearest[..., None], rgba_n, rgba_b)
+    default = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    rgba = jnp.where(has[..., None], rgba, default)
+    return rgba, has

@@ -1,0 +1,205 @@
+"""Closest-hit tracing over the compiled scene (linear-scan path).
+
+Replaces the reference's per-ray two-phase search
+(``Raytracing::trace``, src/raytracing.rs:429-490): candidate filtering
+(visible, alpha>0, cast_shadow for shadow rays, reflection_only only for
+depth>1 — src/raytracing.rs:454) followed by exact intersection, taking the
+minimum t.  The reference's bbox-sort is pure culling and cannot change the
+winner, so the vectorized version simply takes the global argmin.
+
+Deviations (documented):
+- shadow rays return the *nearest* hit; the reference returns the first hit
+  in bbox-distance order (src/raytracing.rs:483-487), which can differ only
+  when bounding boxes overlap (visually immaterial, deterministic here).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from .intersect import (INF, TrianglePrep, closest_tri, dot, safe_normalize,
+                        sphere_cast, sphere_hit_normal, transform_dir,
+                        transform_point, tri_barycentrics)
+
+
+@struct.dataclass
+class Hit:
+    t: jnp.ndarray        # (N,) world distance (dir normalized); INF on miss
+    hit: jnp.ndarray      # (N,) bool
+    is_mesh: jnp.ndarray  # (N,) bool
+    inst: jnp.ndarray     # (N,) int32 instance index (0 if miss)
+    tri: jnp.ndarray      # (N,) int32 global triangle index (mesh hits)
+
+
+@struct.dataclass
+class HitAttrs:
+    normal: jnp.ndarray    # (N, 3) shading normal pre-normal-mapping
+    uv: jnp.ndarray        # (N, 2) reference get_uv (v negated)
+    mat: jnp.ndarray       # (N,) int32 material slot
+    obj_id: jnp.ndarray    # (N,) int32 reference object id
+    point: jnp.ndarray     # (N, 3) world hit point
+
+
+def instance_mask(sa, for_shadow: bool, allow_reflection_only: bool):
+    """Candidate filter per instance — src/raytracing.rs:454."""
+    m = sa.inst_mat
+    mask = sa.inst_visible & (sa.materials.alpha[m] > 0.0)
+    if for_shadow:
+        mask = mask & sa.materials.cast_shadow[m]
+    if not allow_reflection_only:
+        mask = mask & ~sa.materials.reflection_only[m]
+    return mask
+
+
+def _sphere_solid(sa, for_shadow: bool):
+    """src/shape/sphere.rs:50: solid iff fully opaque, no alpha texture,
+    backface culling on, and not a shadow cast."""
+    if for_shadow:
+        return jnp.zeros_like(sa.sphere_valid)
+    inst = sa.sphere_idx
+    m = sa.inst_mat[inst]
+    from ..scene.material import TextureType
+    has_alpha_tex = sa.materials.tex_w[m, int(TextureType.Alpha)] > 0
+    return (~((sa.materials.alpha[m] < 1.0) | has_alpha_tex)
+            & sa.materials.backface_culling[m])
+
+
+def trace_closest(sa, static, prep: TrianglePrep, o, d,
+                  for_shadow: bool, allow_reflection_only: bool,
+                  tri_tile: int = 1024) -> Hit:
+    """o (N,3), d (N,3) normalized.  Static flags select compile-time paths."""
+    n = o.shape[0]
+    inst_ok = instance_mask(sa, for_shadow, allow_reflection_only)
+
+    best_t = jnp.full((n,), INF)
+    best_inst = jnp.zeros((n,), jnp.int32)
+    best_tri = jnp.zeros((n,), jnp.int32)
+    best_is_mesh = jnp.zeros((n,), bool)
+
+    if static.has_mesh:
+        tri_ok = sa.tri_valid & inst_ok[sa.tri_inst]
+        t_tri, tri_idx = closest_tri(o, d, prep, tri_ok, tri_tile)
+        better = t_tri < best_t
+        best_t = jnp.where(better, t_tri, best_t)
+        best_inst = jnp.where(better, sa.tri_inst[tri_idx], best_inst)
+        best_tri = jnp.where(better, tri_idx, best_tri)
+        best_is_mesh = better
+
+    if static.n_spheres > 0:
+        s_inst = sa.sphere_idx                       # (S,)
+        inv = sa.inst_inv[s_inst]                    # (S, 4, 4)
+        lo = (jnp.einsum("sij,nj->nsi", inv[:, :3, :3], o)
+              + inv[:, :3, 3][None])                 # (N, S, 3)
+        ld = jnp.einsum("sij,nj->nsi", inv[:, :3, :3], d)
+        radius = sa.inst_radius[s_inst][None]        # (1, S)
+        solid = _sphere_solid(sa, for_shadow)[None]  # (1, S)
+        s_hit, s_t, _ = sphere_cast(lo, ld, radius, solid)
+        s_ok = sa.sphere_valid[None] & inst_ok[s_inst][None] & s_hit
+        s_t = jnp.where(s_ok, s_t, INF)
+        s_min = jnp.min(s_t, axis=1)
+        s_arg = jnp.argmin(s_t, axis=1).astype(jnp.int32)
+        better = s_min < best_t
+        best_t = jnp.where(better, s_min, best_t)
+        best_inst = jnp.where(better, s_inst[s_arg], best_inst)
+        best_is_mesh = best_is_mesh & ~better
+
+    return Hit(t=best_t, hit=best_t < INF, is_mesh=best_is_mesh,
+               inst=best_inst, tri=best_tri)
+
+
+def hit_attributes(sa, static, prep: TrianglePrep, wvn, o, d, hit: Hit) -> HitAttrs:
+    """Shading normal + UV + material for winning hits.
+
+    Normal semantics replicate the reference exactly:
+    - sphere: parry ball normal transformed by the *model matrix*
+      (src/shape/sphere.rs:63), negated when cast started inside.
+    - mesh flat: model-matrix-transformed geometric normal, oriented to
+      oppose the ray (parry convention, src/shape/mesh.rs:92).
+    - mesh smooth (material.smooth_shading && loaded normals present):
+      barycentric interpolation of loaded normals transformed by the model
+      matrix, negated on backface hits (src/shape/mesh.rs:79-89).
+    - flip_normals negates the result (src/shape/mesh.rs:95-98).
+
+    UV replicates ``get_uv`` (v negated; spherical for spheres,
+    src/shape/sphere.rs:69-99; barycentric for meshes with (0,0) fallback
+    when UV topology is missing, src/shape/mesh.rs:105-161).
+    """
+    n_rays = o.shape[0]
+    point = o + hit.t[:, None] * d
+    mat = sa.inst_mat[hit.inst]
+    obj_id = sa.inst_obj_id[hit.inst]
+
+    normal = jnp.zeros((n_rays, 3))
+    uv = jnp.zeros((n_rays, 2))
+
+    if static.has_mesh:
+        tri = hit.tri
+        u, v, d_n = tri_barycentrics(o, d, hit.t, tri, prep)
+        w0 = 1.0 - u - v
+        backface = (d_n * prep.backface_sign[tri]) > 0.0
+        orient = jnp.where(backface, -1.0, 1.0)
+
+        flat_n = prep.flat_n[tri] * orient[:, None]
+
+        n_idx = sa.tri_n_idx[tri]                       # (N, 3)
+        has_n = n_idx[:, 0] >= 0
+        safe_idx = jnp.maximum(n_idx, 0)
+        n_interp = (w0[:, None] * wvn[safe_idx[:, 0]]
+                    + u[:, None] * wvn[safe_idx[:, 1]]
+                    + v[:, None] * wvn[safe_idx[:, 2]])
+        smooth_n = safe_normalize(n_interp) * orient[:, None]
+
+        use_smooth = sa.materials.smooth_shading[mat] & has_n
+        mesh_n = jnp.where(use_smooth[:, None], smooth_n, flat_n)
+        mesh_n = jnp.where(sa.inst_flip[hit.inst][:, None], -mesh_n, mesh_n)
+
+        uv_idx = sa.tri_uv_idx[tri]
+        has_uv = uv_idx[:, 0] >= 0
+        safe_uv = jnp.maximum(uv_idx, 0)
+        uv_interp = (w0[:, None] * sa.uvs[safe_uv[:, 0]]
+                     + u[:, None] * sa.uvs[safe_uv[:, 1]]
+                     + v[:, None] * sa.uvs[safe_uv[:, 2]])
+        mesh_uv = jnp.where(has_uv[:, None],
+                            jnp.stack([uv_interp[:, 0], -uv_interp[:, 1]], -1),
+                            0.0)
+
+        normal = jnp.where(hit.is_mesh[:, None], mesh_n, normal)
+        uv = jnp.where(hit.is_mesh[:, None], mesh_uv, uv)
+
+    if static.n_spheres > 0:
+        inv = sa.inst_inv[hit.inst]
+        trans = sa.inst_trans[hit.inst]
+        lo = transform_point(inv, o)
+        ld = transform_dir(inv, d)
+        radius = sa.inst_radius[hit.inst]
+        # recompute inside flag with the same solid rule as the original cast
+        from ..scene.material import TextureType
+        has_alpha_tex = sa.materials.tex_w[mat, int(TextureType.Alpha)] > 0
+        solid = (~((sa.materials.alpha[mat] < 1.0) | has_alpha_tex)
+                 & sa.materials.backface_culling[mat])
+        _, _, inside = sphere_cast(lo, ld, radius, solid)
+        sph_n = sphere_hit_normal(lo, ld, hit.t, inside, trans)
+        sph_n = jnp.where(sa.inst_flip[hit.inst][:, None], -sph_n, sph_n)
+
+        lp = lo + hit.t[:, None] * ld
+        theta = jnp.arctan2(-lp[:, 2], lp[:, 0])
+        su = (theta + jnp.pi) / (2.0 * jnp.pi)
+        cosphi = jnp.clip(-lp[:, 1] / jnp.maximum(radius, 1e-30), -1.0, 1.0)
+        sv = jnp.arccos(cosphi) / jnp.pi
+        sph_uv = jnp.stack([su, -sv], -1)
+
+        is_sphere = hit.hit & ~hit.is_mesh
+        normal = jnp.where(is_sphere[:, None], sph_n, normal)
+        uv = jnp.where(is_sphere[:, None], sph_uv, uv)
+
+    mat = jnp.where(hit.hit, mat, 0)
+    obj_id = jnp.where(hit.hit, obj_id, 0)
+    return HitAttrs(normal=normal, uv=uv, mat=mat, obj_id=obj_id, point=point)
+
+
+def prepare_vertex_normals(sa):
+    """World-space loaded vertex normals: model matrix × normal (reference
+    transforms the interpolated normal by ``trans``; linearity lets us
+    pre-transform per entry)."""
+    m = sa.inst_trans[sa.vn_inst]
+    return transform_dir(m, sa.vnormals)

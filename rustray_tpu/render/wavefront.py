@@ -1,0 +1,407 @@
+"""Wavefront Whitted ray-tree renderer — the TPU-native core.
+
+The reference shades recursively per pixel on CPU worker threads
+(``get_color_depth_normal_id``, src/raytracing.rs:720-998).  Here the
+recursion becomes a bounded level loop over *ray batches*: every level
+traces a compacted wavefront, scatter-adds its affine color contribution
+into per-sample accumulators, and emits weighted reflection/refraction
+children for the next level.  The color math is exactly the reference's —
+the Whitted tree is affine in each child's radiance, with per-node weights:
+
+  node color = AO·[(1-fog)·(local·scale + refl·w_refl + refr·w_refl) + fog·c]
+               + ambient
+  w_refl = reflectivity·scale,  w_refr = (1-kr)(1-alpha) [or (1-alpha), kr≥1]
+  scale  = alpha when a transmission ray was spawned, alpha when alpha<1 at
+           max depth, else 1  (src/raytracing.rs:935-975 — note the TIR case
+           spawns nothing and does NOT scale by alpha).
+
+Sampling replicates the stratified shuffled cell pattern
+(src/raytracing.rs:290-313); AOVs (depth / normal / object id) come from the
+primary level, with the alpha≈0 transmission id override chain
+(src/raytracing.rs:966-969) resolved via per-level "carrier" flags.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, RaytracingConfig
+from ..ops import rays as rays_ops
+from ..ops import shade as shade_ops
+from ..ops import texture as tex_ops
+from ..ops.intersect import dot, prepare_triangles, safe_normalize
+from ..ops.traverse import (hit_attributes, prepare_vertex_normals,
+                            trace_closest)
+from ..scene.material import TextureType
+from ..utils.mathutil import sample_cell_size, sample_pattern
+
+SHADOW_BIAS = shade_ops.SHADOW_BIAS
+
+
+def _item_color(sa, static, mat, tex_type, uv, base):
+    """``get_item_color`` (src/raytracing.rs:677-712): material color
+    multiplied componentwise (incl. alpha) by the texture if present."""
+    rgb = base[mat]
+    if not static.has_any_texture:
+        return rgb, jnp.ones(rgb.shape[:-1], jnp.float32)
+    rgba, has = tex_ops.get_tex_color(sa, mat, int(tex_type), uv)
+    out = jnp.where(has[..., None], rgb * rgba[..., :3], rgb)
+    w = jnp.where(has, rgba[..., 3], 1.0)
+    return out, w
+
+
+def _tex_scalar(sa, static, mat, tex_type, uv):
+    """First texture channel + presence mask; (0, False) without textures."""
+    if not static.has_any_texture:
+        z = jnp.zeros(mat.shape, jnp.float32)
+        return z, jnp.zeros(mat.shape, bool)
+    rgba, has = tex_ops.get_tex_color(sa, mat, int(tex_type), uv)
+    return rgba[..., 0], has
+
+
+def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
+                 o, d, weight, alive, depth, key):
+    """Trace + shade one wavefront level.
+
+    Returns (emission (N,3) pre-weight, aov dict, children dict).
+    """
+    mats = sa.materials
+    d = safe_normalize(d)
+    allow_ro = depth > 1
+    hit = trace_closest(sa, static, prep, o, d, for_shadow=False,
+                        allow_reflection_only=allow_ro)
+    attrs = hit_attributes(sa, static, prep, wvn, o, d, hit)
+    mat = attrs.mat
+    point = attrs.point
+    uv = attrs.uv
+    live = alive & hit.hit
+
+    surface_normal = attrs.normal
+
+    # ---- normal mapping (src/raytracing.rs:756-784) ----
+    if static.has_normal_tex:
+        ntex, has_nt = tex_ops.get_tex_color(sa, mat, int(TextureType.Normal), uv)
+        up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+        fwd = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+        tangent = jnp.cross(surface_normal, up)
+        tl = jnp.linalg.norm(tangent, axis=-1)
+        tangent = jnp.where((tl <= 1e-4)[..., None],
+                            jnp.cross(surface_normal, fwd), tangent)
+        tangent = safe_normalize(tangent)
+        bitangent = safe_normalize(jnp.cross(surface_normal, tangent))
+        nm = ntex[..., :3] * 2.0 - 1.0
+        strength = mats.normal_map_strength[mat]
+        nm = nm * jnp.stack([strength, strength, jnp.ones_like(strength)], -1)
+        nm = safe_normalize(nm)
+        mapped = safe_normalize(nm[..., 0:1] * tangent + nm[..., 1:2] * bitangent
+                                + nm[..., 2:3] * surface_normal)
+        surface_normal = jnp.where(has_nt[..., None], mapped, surface_normal)
+
+    # ---- roughness monte-carlo jitter (src/raytracing.rs:786-798) ----
+    if cfg.monte_carlo:
+        rtex, has_rt = _tex_scalar(sa, static, mat, TextureType.Roughness, uv)
+        rough = jnp.where(has_rt, (1.0 / jnp.pi / 2.0) * rtex, mats.roughness[mat])
+        apply = mats.monte_carlo[mat] & ((mats.roughness[mat] > 0.0) | has_rt)
+        k_rough = jax.random.fold_in(key, 17)
+        jittered = shade_ops.jitter(k_rough, surface_normal, rough)
+        surface_normal = jnp.where(apply[..., None], jittered, surface_normal)
+
+    # ---- base / specular / ambient colors ----
+    ambient_rgb, _ = _item_color(sa, static, mat, TextureType.AmbientEmissive,
+                                 uv, mats.ambient_color)
+    base_rgb, base_w = _item_color(sa, static, mat, TextureType.Base, uv,
+                                   mats.base_color)
+    spec_rgb, _ = _item_color(sa, static, mat, TextureType.Specular, uv,
+                              mats.specular_color)
+
+    alpha = mats.alpha[mat] * base_w
+    atex, has_at = _tex_scalar(sa, static, mat, TextureType.Alpha, uv)
+    alpha = alpha * jnp.where(has_at, atex, 1.0)
+
+    # ---- lights (src/raytracing.rs:814-920) ----
+    L = sa.lights.pos.shape[0]
+    lpos = sa.lights.pos                                   # (L, 3)
+    ldir = sa.lights.dir
+    lkind = sa.lights.kind                                 # 0 dir, 1 point, 2 spot
+    is_dir = (lkind == 0)[None, :]
+    to_light_pt = lpos[None] - point[:, None]              # (N, L, 3)
+    dtl = jnp.where(is_dir[..., None],
+                    safe_normalize(-ldir)[None],
+                    safe_normalize(to_light_pt))
+    dot_light = jnp.maximum(dot(surface_normal[:, None], dtl), 0.0)
+    base_term = base_rgb[:, None] * dot_light[..., None]
+
+    reflect_dir = shade_ops.reflect(-dtl, surface_normal[:, None])
+    view_dir = safe_normalize(-d)
+    spec_dot = jnp.maximum(dot(reflect_dir, view_dir[:, None]), 0.0)
+    light_power = jnp.power(spec_dot, mats.shininess[mat][:, None])
+    spec_term = spec_rgb[:, None] * light_power[..., None]
+
+    ldist = jnp.linalg.norm(to_light_pt, axis=-1)          # (N, L)
+    # quirk: falloff divides by 4π·distance (norm, not norm²)
+    intensity = jnp.where(is_dir, sa.lights.intensity[None],
+                          sa.lights.intensity[None]
+                          / (4.0 * jnp.pi * jnp.maximum(ldist, 1e-30)))
+    is_spot = (lkind == 2)[None, :]
+    spot_cos = dot(-dtl, safe_normalize(ldir)[None])
+    spot_angle = jnp.arccos(jnp.clip(spot_cos, -1.0, 1.0))
+    intensity = jnp.where(is_spot & (spot_angle > sa.lights.max_angle[None]),
+                          0.0, intensity)
+
+    # shadows
+    shadow_dir = dtl
+    if cfg.monte_carlo:
+        k_sh = jax.random.fold_in(key, 23)
+        soft = mats.shadow_softness[mat][:, None] * jnp.ones((1, L))
+        jit_dir = shade_ops.jitter(k_sh, shadow_dir, soft)
+        shadow_dir = jnp.where(mats.monte_carlo[mat][:, None, None], jit_dir, shadow_dir)
+    shadow_o = (point + surface_normal * SHADOW_BIAS)[:, None] + 0.0 * shadow_dir
+    n_rays = o.shape[0]
+    sh_o = shadow_o.reshape(n_rays * L, 3)
+    sh_d = safe_normalize(shadow_dir.reshape(n_rays * L, 3))
+    sh_hit = trace_closest(sa, static, prep, sh_o, sh_d, for_shadow=True,
+                           allow_reflection_only=allow_ro)
+    sh_t = sh_hit.t.reshape(n_rays, L)
+    sh_found = sh_hit.hit.reshape(n_rays, L)
+    in_light = ~sh_found | (~is_dir & (sh_t > ldist))
+
+    # occluder alpha-texture attenuation (src/raytracing.rs:894-913).
+    # Deviation (documented): the occluder's own UV/alpha texture is sampled
+    # at the shadow hit; the reference samples the occluder's texture at a UV
+    # computed with the *receiver's* get_uv, an apparent bug.
+    shadow_alpha = mats.alpha[mat][:, None]               # receiver material alpha
+    if static.has_any_texture:
+        occ_attrs = hit_attributes(sa, static, prep, wvn, sh_o, sh_d, sh_hit)
+        occ_a, occ_has = _tex_scalar(sa, static, occ_attrs.mat, TextureType.Alpha,
+                                     occ_attrs.uv)
+        shadow_alpha = shadow_alpha * jnp.where(occ_has.reshape(n_rays, L),
+                                                occ_a.reshape(n_rays, L), 1.0)
+    shadowed = mats.receive_shadow[mat][:, None] & ~in_light
+    intensity = jnp.where(shadowed, intensity * (1.0 - shadow_alpha), intensity)
+
+    enabled = sa.lights.enabled[None]
+    contrib = (sa.lights.color[None] * (spec_term + base_term)
+               * intensity[..., None])
+    local = jnp.sum(jnp.where(enabled[..., None], contrib, 0.0), axis=1)
+
+    # ---- fresnel / reflectivity / refraction ----
+    refr_index = mats.refraction_index[mat]
+    kr = shade_ops.fresnel(d, surface_normal, refr_index)
+
+    refl_tex, has_reft = _tex_scalar(sa, static, mat, TextureType.Reflectivity, uv)
+    reflectivity = jnp.where(has_reft, refl_tex, mats.reflectivity[mat])
+
+    local = local * (1.0 - reflectivity[..., None])
+
+    within_depth = depth <= cfg.max_recursion
+    spawn_refl = live & (reflectivity > 0.0) & within_depth
+    refl_o, refl_d = shade_ops.create_reflection(surface_normal, d, point)
+
+    refr_o, refr_d, refr_valid = shade_ops.create_transmission(
+        surface_normal, d, point, refr_index)
+    spawn_refr = live & (alpha < 1.0) & within_depth & refr_valid
+
+    scale = jnp.where(spawn_refr, alpha,
+                      jnp.where((alpha < 1.0) & (not within_depth), alpha, 1.0))
+    w_refr = jnp.where(kr < 1.0, (1.0 - kr) * (1.0 - alpha), 1.0 - alpha)
+
+    # ---- fog / AO / ambient (src/raytracing.rs:977-994) ----
+    t_safe = jnp.where(hit.hit, hit.t, 0.0)
+    fog = jnp.minimum(jnp.float32(cfg.fog_density) * t_safe, 1.0)
+    fog_color = jnp.asarray(cfg.fog_color, jnp.float32)
+    ao_tex, has_ao = _tex_scalar(sa, static, mat, TextureType.AmbientOcclusion, uv)
+    ao = jnp.where(has_ao, ao_tex, 1.0)
+
+    emission = (ao[..., None]
+                * ((1.0 - fog[..., None]) * local * scale[..., None]
+                   + fog[..., None] * fog_color)
+                + ambient_rgb)
+    emission = jnp.where(live[..., None], emission, 0.0)
+
+    child_common = ao * (1.0 - fog)
+    w_refl_child = jnp.where(spawn_refl, child_common * scale * reflectivity, 0.0)
+    w_refr_child = jnp.where(spawn_refr, child_common * w_refr, 0.0)
+
+    # alpha≈0 id-override chain flag (approx_equal(alpha, 0) — trunc compare)
+    alpha_zero = jnp.trunc(jnp.abs(alpha) * 1e6) == 0.0
+
+    aov = dict(
+        depth=jnp.where(live, hit.t, 0.0),
+        normal=jnp.where(live[..., None], attrs.normal, 0.0),
+        obj_id=jnp.where(live, attrs.obj_id, 0),
+    )
+    children = dict(
+        refl_o=refl_o, refl_d=refl_d, w_refl=weight * w_refl_child[..., None],
+        refr_o=refr_o, refr_d=refr_d, w_refr=weight * w_refr_child[..., None],
+        spawn_refl=spawn_refl & (w_refl_child > 0.0),
+        spawn_refr=spawn_refr & (w_refr_child > 0.0),
+        refr_spawned=spawn_refr,
+        alpha_zero=alpha_zero,
+    )
+    return emission, aov, children
+
+
+def _compact(order_key, cap, arrays):
+    """Keep up to ``cap`` rays, alive-first (stable)."""
+    n = order_key.shape[0]
+    if n <= cap:
+        return arrays
+    order = jnp.argsort(order_key)[:cap]
+    return [a[order] for a in arrays]
+
+
+def make_chunk_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
+                        n_levels: int):
+    """Build the jitted per-chunk render function."""
+    cell_size = sample_cell_size(cfg.samples)
+
+    def render_sample(sa, prep, wvn, px, py, valid, cell, key):
+        n = px.shape[0]
+        cap = int(max(n, round(n * engine.queue_factor)))
+        o, d = rays_ops.primary_rays(
+            sa.camera, static.width, static.height, px, py,
+            cell[0], cell[1], cell_size,
+            cfg.aperture_size, cfg.focal_length, cfg.samples)
+
+        color = jnp.zeros((n, 3), jnp.float32)
+        obj_id = jnp.zeros((n,), jnp.int32)
+        aov0 = None
+
+        weight = jnp.ones((n, 3), jnp.float32)
+        alive = valid
+        carrier = valid
+        slot = jnp.arange(n, dtype=jnp.int32)
+
+        for depth in range(1, n_levels + 1):
+            lkey = jax.random.fold_in(key, depth)
+            emission, aov, ch = _shade_level(
+                sa, static, prep, wvn, cfg, o, d, weight, alive, depth, lkey)
+            color = color.at[slot].add(
+                jnp.where(alive[..., None], weight * emission, 0.0))
+            if depth == 1:
+                aov0 = aov
+            # id-override chain: carriers write their (possibly 0) hit id.
+            # Scatter-add of deltas (≤1 carrier per slot) avoids the
+            # duplicate-index ordering hazard of scatter-set.
+            obj_id = obj_id.at[slot].add(
+                jnp.where(carrier, aov["obj_id"] - obj_id[slot], 0))
+
+            if depth == n_levels:
+                break
+
+            child_carrier = carrier & ch["alpha_zero"] & ch["refr_spawned"]
+            o = jnp.concatenate([ch["refl_o"], ch["refr_o"]])
+            d = jnp.concatenate([ch["refl_d"], ch["refr_d"]])
+            weight = jnp.concatenate([ch["w_refl"], ch["w_refr"]])
+            alive = jnp.concatenate([alive & ch["spawn_refl"],
+                                     alive & ch["spawn_refr"]])
+            carrier = jnp.concatenate([jnp.zeros_like(child_carrier), child_carrier])
+            slot = jnp.concatenate([slot, slot])
+            o, d, weight, alive, carrier, slot = _compact(
+                ~alive, cap, [o, d, weight, alive, carrier, slot])
+
+        return color, aov0["depth"], aov0["normal"], obj_id
+
+    @jax.jit
+    def render_chunk(sa, prep, wvn, px, py, valid, cells, key):
+        if cfg.samples == 1:
+            color, depth, normal, obj_id = render_sample(
+                sa, prep, wvn, px, py, valid, cells[0], jax.random.fold_in(key, 0))
+            return color, depth, normal, obj_id
+
+        def body(carry, inp):
+            c_sum, d_sum, n_sum, _ = carry
+            cell, idx = inp
+            color, depth, normal, obj_id = render_sample(
+                sa, prep, wvn, px, py, valid, cell, jax.random.fold_in(key, idx))
+            return (c_sum + color, d_sum + depth, n_sum + normal, obj_id), None
+
+        n = px.shape[0]
+        init = (jnp.zeros((n, 3)), jnp.zeros((n,)), jnp.zeros((n, 3)),
+                jnp.zeros((n,), jnp.int32))
+        (c_sum, d_sum, n_sum, obj_id), _ = jax.lax.scan(
+            body, init, (cells, jnp.arange(cells.shape[0])))
+        return c_sum, d_sum, n_sum, obj_id
+
+    return render_chunk
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _prepare(sa):
+    return prepare_triangles(sa), prepare_vertex_normals(sa)
+
+
+def render(sa, static, cfg: RaytracingConfig,
+           engine: EngineConfig = None) -> Dict[str, np.ndarray]:
+    """Render the full frame.  Returns numpy AOVs:
+
+    - ``image``: (H, W, 3) uint8 (clamped, optionally gamma-encoded,
+      truncating quantization like src/raytracing.rs:410-424)
+    - ``color``: (H, W, 3) float32 pre-quantization (sample-averaged, clamped)
+    - ``normal``: (H, W, 3), ``depth``: (H, W), ``object_id``: (H, W) int32
+    """
+    engine = engine or EngineConfig()
+    W, H = static.width, static.height
+    n_pix = W * H
+
+    mats = sa.materials
+    has_secondary = bool(
+        np.any(np.asarray(mats.reflectivity) > 0.0)
+        or np.any(np.asarray(mats.alpha) < 1.0)
+        or np.any(np.asarray(mats.tex_w[:, int(TextureType.Reflectivity)]) > 0)
+        or np.any(np.asarray(mats.tex_w[:, int(TextureType.Alpha)]) > 0))
+    n_levels = (1 + cfg.max_recursion) if has_secondary else 1
+
+    chunk = min(engine.chunk_pixels, n_pix)
+    renderer = make_chunk_renderer(static, cfg, engine, n_levels)
+
+    cells = jnp.asarray(sample_pattern(cfg.samples, engine.seed), jnp.int32)
+    key = jax.random.PRNGKey(engine.seed)
+    prep, wvn = _prepare(sa)
+
+    color = np.zeros((n_pix, 3), np.float32)
+    depth = np.zeros((n_pix,), np.float32)
+    normal = np.zeros((n_pix, 3), np.float32)
+    obj_id = np.zeros((n_pix,), np.int32)
+
+    for start in range(0, n_pix, chunk):
+        idx = np.arange(start, start + chunk)
+        valid = idx < n_pix
+        idx_c = np.minimum(idx, n_pix - 1)
+        px = jnp.asarray(idx_c % W, jnp.int32)
+        py = jnp.asarray(idx_c // W, jnp.int32)
+        c, dpt, nrm, oid = renderer(sa, prep, wvn, px, py,
+                                    jnp.asarray(valid), cells,
+                                    jax.random.fold_in(key, start))
+        sel = valid
+        color[idx[sel]] = np.asarray(c)[sel]
+        depth[idx[sel]] = np.asarray(dpt)[sel]
+        normal[idx[sel]] = np.asarray(nrm)[sel]
+        obj_id[idx[sel]] = np.asarray(oid)[sel]
+
+    inv_s = 1.0 / cfg.samples
+    color *= inv_s
+    depth *= inv_s
+    normal *= inv_s
+    color = np.minimum(color, 1.0)
+
+    if cfg.gamma_correction:
+        quant = np.power(np.maximum(color, 0.0), 1.0 / 2.2)
+    else:
+        quant = color
+    image = np.trunc(quant * 255.0).astype(np.uint8)
+
+    norm_len = np.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = np.where(norm_len > 0, normal / np.maximum(norm_len, 1e-30), 0.0)
+
+    return dict(
+        image=image.reshape(H, W, 3),
+        color=color.reshape(H, W, 3),
+        depth=depth.reshape(H, W),
+        normal=normal.reshape(H, W, 3),
+        object_id=obj_id.reshape(H, W),
+    )
