@@ -1,0 +1,147 @@
+"""Procedural scene generators (no file/network dependencies).
+
+Used by benchmarks, the graft entry point, and sharding tests.  The bench
+scene is sized to the sponza-class workload from BASELINE.md (hundreds of
+thousands of triangles, textures, multiple lights, Monte-Carlo materials)
+but fully self-contained since the reference's GLB assets are downloaded at
+load time and unavailable in airgapped environments.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import RaytracingConfig
+from ..scene.light import LightType
+from ..scene.material import Material, TextureType
+from ..scene.scene import Scene
+from ..scene.shapes import Mesh, Sphere
+
+
+def checkerboard_texture(size: int = 64, cells: int = 8) -> np.ndarray:
+    y, x = np.mgrid[0:size, 0:size]
+    c = (((x * cells // size) + (y * cells // size)) % 2).astype(np.uint8)
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 0] = img[..., 1] = img[..., 2] = 64 + c * 160
+    img[..., 3] = 255
+    return img
+
+
+def uv_sphere_mesh(name: str, material: Material, radius: float = 1.0,
+                   lat: int = 16, lon: int = 24) -> Mesh:
+    """UV-sphere triangle mesh with smooth normals and spherical UVs."""
+    phis = np.linspace(0, np.pi, lat + 1)
+    thetas = np.linspace(0, 2 * np.pi, lon + 1)
+    verts, normals, uvs = [], [], []
+    for i, phi in enumerate(phis):
+        for j, theta in enumerate(thetas):
+            n = np.array([np.sin(phi) * np.cos(theta), np.cos(phi),
+                          np.sin(phi) * np.sin(theta)])
+            verts.append(n * radius)
+            normals.append(n)
+            uvs.append([theta / (2 * np.pi), phi / np.pi])
+    verts = np.asarray(verts, np.float32)
+    normals = np.asarray(normals, np.float32)
+    uvs = np.asarray(uvs, np.float32)
+    tris = []
+    w = lon + 1
+    for i in range(lat):
+        for j in range(lon):
+            a, b = i * w + j, i * w + j + 1
+            c, d = (i + 1) * w + j, (i + 1) * w + j + 1
+            if i > 0:
+                tris.append([a, c, b])
+            if i < lat - 1:
+                tris.append([b, c, d])
+    tris = np.asarray(tris, np.int32)
+    return Mesh(name, material, verts, tris, uvs, tris.copy(), normals, tris.copy())
+
+
+def demo_spheres_scene(width: int = 64, height: int = 48) -> Scene:
+    """Small analytic-sphere scene (flagship single-chip demo)."""
+    scene = Scene()
+    specs = [
+        ((0.0, 0.0, -6.0), 1.5, (1.0, 0.2, 0.2), 0.3, 1.0),
+        ((-3.0, 0.5, -8.0), 1.5, (0.2, 1.0, 0.2), 0.5, 0.8),
+        ((3.0, -0.5, -7.0), 1.2, (0.2, 0.2, 1.0), 0.1, 0.6),
+        ((0.0, 2.5, -9.0), 1.0, (1.0, 1.0, 1.0), 1.0, 1.0),
+    ]
+    for i, (pos, r, color, refl, alpha) in enumerate(specs):
+        m = Material(id=scene.get_next_id(), name=f"mat{i}")
+        m.base_color = np.asarray(color, np.float32)
+        m.specular_color = m.base_color * np.float32(0.8)
+        m.reflectivity = refl
+        m.alpha = alpha
+        m.refraction_index = 1.5
+        s = Sphere(f"sphere{i}", m, *pos, r)
+        s.basic.id = scene.get_next_id()
+        scene.items.append(s)
+        scene.materials.append(m)
+
+    floor_mat = Material(id=scene.get_next_id(), name="floor")
+    floor_mat.base_color = np.array([0.6, 0.6, 0.9], np.float32)
+    floor_mat.reflectivity = 0.2
+    floor_mat.set_texture(TextureType.Base, checkerboard_texture())
+    floor = Mesh.new_plane("floor", floor_mat,
+                           (-12, -2.5, 2), (12, -2.5, 2), (12, -2.5, -20), (-12, -2.5, -20))
+    floor.basic.id = scene.get_next_id()
+    scene.items.append(floor)
+    scene.materials.append(floor_mat)
+
+    scene.add_light("key", (-4.0, 8.0, 2.0), (0, -1, 0), (1, 1, 1), 300.0,
+                    np.pi / 2, LightType.Point)
+    scene.add_light("sun", (0, 0, 0), (1.0, -1.0, -0.5), (1, 1, 1), 0.6,
+                    np.pi / 2, LightType.Directional)
+    scene.cam.init(width, height)
+    scene.init()
+    scene.update()
+    return scene
+
+
+def bench_scene(grid: int = 4, lat: int = 12, lon: int = 18,
+                width: int = 1280, height: int = 720,
+                monte_carlo: bool = True, samples: int = 4) -> Scene:
+    """Sponza-class procedural benchmark scene: grid² textured UV-sphere
+    meshes over a reflective textured floor, 3 lights, MC roughness."""
+    scene = Scene()
+    tex = checkerboard_texture(128, 16)
+    rng = np.random.default_rng(7)
+    for gx in range(grid):
+        for gz in range(grid):
+            m = Material(id=scene.get_next_id(), name=f"m{gx}_{gz}")
+            m.base_color = rng.uniform(0.3, 1.0, 3).astype(np.float32)
+            m.specular_color = m.base_color * np.float32(0.8)
+            m.reflectivity = float(rng.uniform(0.0, 0.4))
+            m.roughness = float(rng.uniform(0.0, 0.08))
+            m.set_texture(TextureType.Base, tex)
+            mesh = uv_sphere_mesh(f"ball{gx}_{gz}", m, 1.0, lat, lon)
+            mesh.basic.id = scene.get_next_id()
+            mesh.basic.apply_transformation(
+                (2.6 * (gx - (grid - 1) / 2), 0.0, -6.0 - 2.6 * gz),
+                (1.0, 1.0, 1.0), (0.0, 0.0, 0.0))
+            scene.items.append(mesh)
+            scene.materials.append(m)
+
+    floor_mat = Material(id=scene.get_next_id(), name="floor")
+    floor_mat.base_color = np.array([0.7, 0.7, 0.7], np.float32)
+    floor_mat.reflectivity = 0.3
+    floor_mat.set_texture(TextureType.Base, tex)
+    floor = Mesh.new_plane("floor", floor_mat,
+                           (-40, -1.2, 10), (40, -1.2, 10), (40, -1.2, -60), (-40, -1.2, -60))
+    floor.basic.id = scene.get_next_id()
+    scene.items.append(floor)
+    scene.materials.append(floor_mat)
+
+    scene.add_light("key", (-6.0, 12.0, 0.0), (0, -1, 0), (1, 1, 1), 500.0,
+                    np.pi / 2, LightType.Point)
+    scene.add_light("fill", (8.0, 6.0, -4.0), (0, -1, 0), (1.0, 0.9, 0.8), 200.0,
+                    np.pi / 2, LightType.Point)
+    scene.add_light("sun", (0, 0, 0), (0.5, -1.0, -0.3), (1, 1, 1), 0.5,
+                    np.pi / 2, LightType.Directional)
+    scene.cam.eye_pos = np.array([0.0, 3.0, 4.0], np.float32)
+    scene.cam.dir = np.array([0.0, -0.25, -1.0], np.float32)
+    scene.cam.init(width, height)
+    scene.raytracing_config.monte_carlo = monte_carlo
+    scene.raytracing_config.samples = samples
+    scene.init()
+    scene.update()
+    return scene

@@ -1,0 +1,243 @@
+"""Multi-chip rendering and scene-gradient reduction.
+
+The reference's only parallelism is a single-host CPU tile queue
+(src/renderer.rs:38-318).  The TPU-native equivalent shards the *ray/pixel
+batch* and the *sample batch* over a 2D device mesh:
+
+  mesh axes: ("rays", "samples")
+  - pixels  → sharded over "rays"   (the analogue of the tile queue)
+  - AA/MC sample cells → sharded over "samples"
+  - scene SoA arrays   → replicated (the analogue of Arc<RwLock<Scene>>)
+
+Per-sample partial sums are reduced with ``psum`` over the "samples" axis
+(XLA collectives over ICI); gradients of scene parameters are additionally
+``psum``-reduced over both axes, overlapped with the backward pass by XLA.
+
+Multi-host: call :func:`init_distributed` first (jax.distributed), then use
+all devices in the mesh; DCN carries the inter-host all-reduce.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import EngineConfig, RaytracingConfig
+from ..ops.intersect import prepare_triangles
+from ..ops.traverse import prepare_vertex_normals
+from ..render.wavefront import build_chunk_fn
+from ..scene.material import TextureType
+from ..utils.mathutil import sample_pattern
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (jax.distributed.initialize)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(devices=None, sample_axis: int = 1, axis_names=("rays", "samples")) -> Mesh:
+    """Mesh over the given devices with ``sample_axis`` devices on the
+    sample dimension and the rest on the ray dimension."""
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    assert n % sample_axis == 0, (n, sample_axis)
+    arr = np.array(devs).reshape(n // sample_axis, sample_axis)
+    return Mesh(arr, axis_names)
+
+
+def _n_levels(sa, cfg) -> int:
+    mats = sa.materials
+    has_secondary = bool(
+        np.any(np.asarray(mats.reflectivity) > 0.0)
+        or np.any(np.asarray(mats.alpha) < 1.0)
+        or np.any(np.asarray(mats.tex_w[:, int(TextureType.Reflectivity)]) > 0)
+        or np.any(np.asarray(mats.tex_w[:, int(TextureType.Alpha)]) > 0))
+    return (1 + cfg.max_recursion) if has_secondary else 1
+
+
+def _pad_pixels(static, n_rays_shards):
+    n_pix = static.width * static.height
+    per = -(-n_pix // n_rays_shards)
+    total = per * n_rays_shards
+    idx = np.minimum(np.arange(total), n_pix - 1)
+    valid = np.arange(total) < n_pix
+    px = (idx % static.width).astype(np.int32)
+    py = (idx // static.width).astype(np.int32)
+    return px, py, valid, n_pix
+
+
+def _pad_cells(cfg, engine, n_sample_shards):
+    cells = sample_pattern(cfg.samples, engine.seed)
+    s = cells.shape[0]
+    per = -(-s // n_sample_shards)
+    total = per * n_sample_shards
+    pad = total - s
+    cells = np.concatenate([cells, np.zeros((pad, 2), np.int32)])
+    cell_idx = np.arange(total, dtype=np.int32)
+    cell_valid = cell_idx < s
+    return cells, cell_idx, cell_valid
+
+
+def make_sharded_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
+                          mesh: Mesh, n_levels: int):
+    """shard_map'd full-frame renderer.  Returns a jitted fn
+    f(sa, px, py, valid, cells, cell_idx, cell_valid, key) →
+    (color_sum, depth_sum, normal_sum, obj_id), pixel-sharded outputs."""
+    chunk_fn = build_chunk_fn(static, cfg, engine, n_levels)
+    last_sample = cfg.samples - 1
+
+    def body(sa, px, py, valid, cells, cell_idx, cell_valid, key):
+        prep = prepare_triangles(sa)
+        wvn = prepare_vertex_normals(sa)
+        c, d, n, oid = chunk_fn(sa, prep, wvn, px, py, valid,
+                                cells, cell_idx, cell_valid, key)
+        c = jax.lax.psum(c, "samples")
+        d = jax.lax.psum(d, "samples")
+        n = jax.lax.psum(n, "samples")
+        # object id: last sample wins globally → only the shard holding the
+        # last valid sample cell contributes
+        owns_last = jnp.any(cell_idx == last_sample)
+        oid = jax.lax.psum(jnp.where(owns_last, oid, 0), "samples")
+        return c, d, n, oid
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("rays"), P("rays"), P("rays"),
+                  P("samples", None), P("samples"), P("samples"), P()),
+        out_specs=(P("rays"), P("rays"), P("rays"), P("rays")),
+        check_rep=False)
+    return jax.jit(f)
+
+
+def render_sharded(sa, static, cfg: RaytracingConfig,
+                   engine: EngineConfig = None, mesh: Mesh = None) -> Dict[str, np.ndarray]:
+    """Full-frame multi-device render (single dispatch, whole frame)."""
+    engine = engine or EngineConfig()
+    mesh = mesh or make_mesh()
+    n_rays_shards = mesh.shape["rays"]
+    n_sample_shards = mesh.shape["samples"]
+    n_levels = _n_levels(sa, cfg)
+
+    px, py, valid, n_pix = _pad_pixels(static, n_rays_shards)
+    cells, cell_idx, cell_valid = _pad_cells(cfg, engine, n_sample_shards)
+    key = jax.random.PRNGKey(engine.seed)
+
+    f = make_sharded_renderer(static, cfg, engine, mesh, n_levels)
+    c, d, n, oid = f(sa, jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid),
+                     jnp.asarray(cells), jnp.asarray(cell_idx),
+                     jnp.asarray(cell_valid), key)
+
+    W, H = static.width, static.height
+    inv_s = 1.0 / cfg.samples
+    color = np.asarray(c)[:n_pix] * inv_s
+    depth = np.asarray(d)[:n_pix] * inv_s
+    normal = np.asarray(n)[:n_pix] * inv_s
+    obj_id = np.asarray(oid)[:n_pix]
+
+    color = np.minimum(color, 1.0)
+    quant = np.power(np.maximum(color, 0.0), 1.0 / 2.2) if cfg.gamma_correction else color
+    image = np.trunc(quant * 255.0).astype(np.uint8)
+    nl = np.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = np.where(nl > 0, normal / np.maximum(nl, 1e-30), 0.0)
+    return dict(image=image.reshape(H, W, 3), color=color.reshape(H, W, 3),
+                depth=depth.reshape(H, W), normal=normal.reshape(H, W, 3),
+                object_id=obj_id.reshape(H, W))
+
+
+# --------------------------------------------------------------------------
+# Differentiable scene optimization: sharded value-and-grad
+# --------------------------------------------------------------------------
+
+DIFF_MATERIAL_FIELDS = ("ambient_color", "base_color", "specular_color",
+                        "alpha", "shininess", "reflectivity",
+                        "refraction_index", "normal_map_strength",
+                        "shadow_softness", "roughness")
+DIFF_LIGHT_FIELDS = ("pos", "dir", "color", "intensity", "max_angle")
+
+
+def extract_diff_params(sa) -> Dict:
+    """Differentiable scene-parameter pytree (materials, lights, camera)."""
+    return dict(
+        materials={f: getattr(sa.materials, f) for f in DIFF_MATERIAL_FIELDS},
+        lights={f: getattr(sa.lights, f) for f in DIFF_LIGHT_FIELDS},
+        camera=dict(proj_inv=sa.camera.proj_inv, view_inv=sa.camera.view_inv),
+    )
+
+
+def apply_diff_params(sa, params: Dict):
+    return sa.replace(
+        materials=sa.materials.replace(**params["materials"]),
+        lights=sa.lights.replace(**params["lights"]),
+        camera=sa.camera.replace(**params["camera"]),
+    )
+
+
+def make_sharded_value_and_grad(sa_template, static, cfg: RaytracingConfig,
+                                engine: EngineConfig, mesh: Mesh):
+    """Build a jitted f(params, sa, target, …) → (loss, grads) where the
+    pixel/sample work is sharded over the mesh and the scene-parameter
+    gradients are psum-reduced over ICI (overlapped with backward by XLA)."""
+    n_levels = _n_levels(sa_template, cfg)
+    chunk_fn = build_chunk_fn(static, cfg, engine, n_levels)
+    inv_s = 1.0 / cfg.samples
+    n_pix_total = static.width * static.height
+
+    def body(params, sa, target, px, py, valid, cells, cell_idx, cell_valid, key):
+        def local_loss(p):
+            sa2 = apply_diff_params(sa, p)
+            prep = prepare_triangles(sa2)
+            wvn = prepare_vertex_normals(sa2)
+            c, _, _, _ = chunk_fn(sa2, prep, wvn, px, py, valid,
+                                  cells, cell_idx, cell_valid, key)
+            c = jax.lax.psum(c, "samples") * inv_s
+            err = (c - target) ** 2
+            return jnp.sum(jnp.where(valid[:, None], err, 0.0))
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(loss, "rays") / (n_pix_total * 3)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, ("rays", "samples")), grads)
+        return loss, grads
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("rays"), P("rays"), P("rays"), P("rays"),
+                  P("samples", None), P("samples"), P("samples"), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return jax.jit(f)
+
+
+def render_loss_and_grad(sa, static, cfg: RaytracingConfig, target: np.ndarray,
+                         engine: EngineConfig = None, mesh: Mesh = None):
+    """Compute loss = MSE(render, target) and gradients w.r.t. the
+    differentiable scene parameters, sharded over the mesh."""
+    engine = engine or EngineConfig()
+    mesh = mesh or make_mesh()
+    n_rays_shards = mesh.shape["rays"]
+    n_sample_shards = mesh.shape["samples"]
+
+    px, py, valid, n_pix = _pad_pixels(static, n_rays_shards)
+    cells, cell_idx, cell_valid = _pad_cells(cfg, engine, n_sample_shards)
+    tgt = np.asarray(target, np.float32).reshape(-1, 3)
+    if tgt.shape[0] < px.shape[0]:
+        tgt = np.concatenate([tgt, np.zeros((px.shape[0] - tgt.shape[0], 3), np.float32)])
+
+    f = make_sharded_value_and_grad(sa, static, cfg, engine, mesh)
+    params = extract_diff_params(sa)
+    key = jax.random.PRNGKey(engine.seed)
+    loss, grads = f(params, sa, jnp.asarray(tgt), jnp.asarray(px),
+                    jnp.asarray(py), jnp.asarray(valid), jnp.asarray(cells),
+                    jnp.asarray(cell_idx), jnp.asarray(cell_valid), key)
+    return loss, grads

@@ -245,21 +245,42 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     return emission, aov, children
 
 
-def _compact(order_key, cap, arrays):
-    """Keep up to ``cap`` rays, alive-first (stable)."""
-    n = order_key.shape[0]
-    if n <= cap:
-        return arrays
-    order = jnp.argsort(order_key)[:cap]
-    return [a[order] for a in arrays]
+_RENDERER_CACHE: Dict[tuple, object] = {}
 
 
-def make_chunk_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
-                        n_levels: int):
-    """Build the jitted per-chunk render function."""
+def _config_key(static, cfg: RaytracingConfig, engine: EngineConfig, n_levels: int):
+    return (static, cfg.monte_carlo, cfg.samples, cfg.focal_length,
+            cfg.aperture_size, cfg.fog_density, tuple(cfg.fog_color),
+            cfg.max_recursion, cfg.gamma_correction,
+            engine.chunk_pixels, engine.queue_factor, engine.tri_tile,
+            engine.seed, n_levels)
+
+
+def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
+                   n_levels: int):
+    """Build the (unjitted) per-chunk render function.
+
+    Signature: chunk_fn(sa, prep, wvn, px, py, valid, cells, cell_idx,
+    cell_valid, key) → (color_sum, depth_sum, normal_sum, obj_id), where
+    ``cells`` (S, 2) are sample cells (possibly a shard of the full pattern),
+    ``cell_idx`` their global sample indices (for deterministic RNG across
+    shardings) and ``cell_valid`` masks padding cells.  Sums are *not*
+    divided by the sample count (callers divide / psum).
+    """
     cell_size = sample_cell_size(cfg.samples)
 
     def render_sample(sa, prep, wvn, px, py, valid, cell, key):
+        """One AA/MC sample for the pixel chunk.
+
+        The Whitted ray tree is evaluated as a forward wavefront sweep
+        (levels 1..n_levels, each level = compacted child batch of the
+        previous) followed by a *backward contribution fold*: children sit in
+        positionally-aligned [reflection; refraction] halves (post-compaction
+        alignment is restored by inverting the compaction permutation), so
+        each level's radiance folds into its parents with gathers and
+        reshape-sums only — no duplicate-index scatters anywhere, which keeps
+        accumulation bit-deterministic and cheap on TPU.
+        """
         n = px.shape[0]
         cap = int(max(n, round(n * engine.queue_factor)))
         o, d = rays_ops.primary_rays(
@@ -267,66 +288,101 @@ def make_chunk_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
             cell[0], cell[1], cell_size,
             cfg.aperture_size, cfg.focal_length, cfg.samples)
 
-        color = jnp.zeros((n, 3), jnp.float32)
-        obj_id = jnp.zeros((n,), jnp.int32)
-        aov0 = None
-
         weight = jnp.ones((n, 3), jnp.float32)
         alive = valid
-        carrier = valid
-        slot = jnp.arange(n, dtype=jnp.int32)
+
+        aov0 = None
+        levels = []  # per level: contrib, own_id, override, perm (into prev 2N)
 
         for depth in range(1, n_levels + 1):
             lkey = jax.random.fold_in(key, depth)
             emission, aov, ch = _shade_level(
                 sa, static, prep, wvn, cfg, o, d, weight, alive, depth, lkey)
-            color = color.at[slot].add(
-                jnp.where(alive[..., None], weight * emission, 0.0))
+            contrib = jnp.where(alive[..., None], weight * emission, 0.0)
             if depth == 1:
                 aov0 = aov
-            # id-override chain: carriers write their (possibly 0) hit id.
-            # Scatter-add of deltas (≤1 carrier per slot) avoids the
-            # duplicate-index ordering hazard of scatter-set.
-            obj_id = obj_id.at[slot].add(
-                jnp.where(carrier, aov["obj_id"] - obj_id[slot], 0))
+            own_id = jnp.where(alive, aov["obj_id"], 0)
+            override = alive & ch["alpha_zero"] & ch["refr_spawned"]
+            levels.append(dict(contrib=contrib, own_id=own_id,
+                               override=override))
 
             if depth == n_levels:
                 break
 
-            child_carrier = carrier & ch["alpha_zero"] & ch["refr_spawned"]
             o = jnp.concatenate([ch["refl_o"], ch["refr_o"]])
             d = jnp.concatenate([ch["refl_d"], ch["refr_d"]])
             weight = jnp.concatenate([ch["w_refl"], ch["w_refr"]])
-            alive = jnp.concatenate([alive & ch["spawn_refl"],
-                                     alive & ch["spawn_refr"]])
-            carrier = jnp.concatenate([jnp.zeros_like(child_carrier), child_carrier])
-            slot = jnp.concatenate([slot, slot])
-            o, d, weight, alive, carrier, slot = _compact(
-                ~alive, cap, [o, d, weight, alive, carrier, slot])
+            alive_c = jnp.concatenate([alive & ch["spawn_refl"],
+                                       alive & ch["spawn_refr"]])
+            if alive_c.shape[0] > cap:
+                # alive-first stable compaction; the permutation is recorded
+                # so contributions can be folded back to parents
+                perm = jnp.argsort(~alive_c)[:cap]
+                o, d, weight = o[perm], d[perm], weight[perm]
+                alive = alive_c[perm]
+                levels[-1]["child_perm"] = perm
+            else:
+                alive = alive_c
+                levels[-1]["child_perm"] = None
 
-        return color, aov0["depth"], aov0["normal"], obj_id
+        # ---- backward fold: children radiance → parents ----
+        acc = levels[-1]["contrib"]
+        id_acc = levels[-1]["own_id"]
+        for lvl in range(len(levels) - 2, -1, -1):
+            parent = levels[lvl]
+            n_parent = parent["contrib"].shape[0]
+            perm = parent["child_perm"]
+            if perm is not None:
+                expanded = jnp.zeros((2 * n_parent, 3), acc.dtype).at[perm].set(acc)
+                id_expanded = jnp.zeros((2 * n_parent,), id_acc.dtype).at[perm].set(id_acc)
+            else:
+                expanded = acc
+                id_expanded = id_acc
+            child_sum = expanded[:n_parent] + expanded[n_parent:]
+            acc = parent["contrib"] + child_sum
+            refr_resolved = id_expanded[n_parent:]
+            id_acc = jnp.where(parent["override"], refr_resolved, parent["own_id"])
 
-    @jax.jit
-    def render_chunk(sa, prep, wvn, px, py, valid, cells, key):
-        if cfg.samples == 1:
+        return acc, aov0["depth"], aov0["normal"], id_acc
+
+    def chunk_fn(sa, prep, wvn, px, py, valid, cells, cell_idx, cell_valid, key):
+        if cells.shape[0] == 1:
             color, depth, normal, obj_id = render_sample(
-                sa, prep, wvn, px, py, valid, cells[0], jax.random.fold_in(key, 0))
-            return color, depth, normal, obj_id
+                sa, prep, wvn, px, py, valid, cells[0],
+                jax.random.fold_in(key, cell_idx[0]))
+            m = cell_valid[0]
+            return (jnp.where(m, color, 0.0), jnp.where(m, depth, 0.0),
+                    jnp.where(m, normal, 0.0), jnp.where(m, obj_id, 0))
 
         def body(carry, inp):
-            c_sum, d_sum, n_sum, _ = carry
-            cell, idx = inp
+            c_sum, d_sum, n_sum, oid_prev = carry
+            cell, idx, cv = inp
             color, depth, normal, obj_id = render_sample(
                 sa, prep, wvn, px, py, valid, cell, jax.random.fold_in(key, idx))
-            return (c_sum + color, d_sum + depth, n_sum + normal, obj_id), None
+            return (c_sum + jnp.where(cv, color, 0.0),
+                    d_sum + jnp.where(cv, depth, 0.0),
+                    n_sum + jnp.where(cv, normal, 0.0),
+                    jnp.where(cv, obj_id, oid_prev)), None
 
         n = px.shape[0]
         init = (jnp.zeros((n, 3)), jnp.zeros((n,)), jnp.zeros((n, 3)),
                 jnp.zeros((n,), jnp.int32))
         (c_sum, d_sum, n_sum, obj_id), _ = jax.lax.scan(
-            body, init, (cells, jnp.arange(cells.shape[0])))
+            body, init, (cells, cell_idx, cell_valid))
         return c_sum, d_sum, n_sum, obj_id
 
+    return chunk_fn
+
+
+def make_chunk_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
+                        n_levels: int):
+    """Build (or fetch from cache) the jitted per-chunk render function."""
+    key = _config_key(static, cfg, engine, n_levels)
+    cached = _RENDERER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    render_chunk = jax.jit(build_chunk_fn(static, cfg, engine, n_levels))
+    _RENDERER_CACHE[key] = render_chunk
     return render_chunk
 
 
@@ -360,6 +416,8 @@ def render(sa, static, cfg: RaytracingConfig,
     renderer = make_chunk_renderer(static, cfg, engine, n_levels)
 
     cells = jnp.asarray(sample_pattern(cfg.samples, engine.seed), jnp.int32)
+    cell_idx = jnp.arange(cells.shape[0], dtype=jnp.int32)
+    cell_valid = jnp.ones((cells.shape[0],), bool)
     key = jax.random.PRNGKey(engine.seed)
     prep, wvn = _prepare(sa)
 
@@ -375,8 +433,8 @@ def render(sa, static, cfg: RaytracingConfig,
         px = jnp.asarray(idx_c % W, jnp.int32)
         py = jnp.asarray(idx_c // W, jnp.int32)
         c, dpt, nrm, oid = renderer(sa, prep, wvn, px, py,
-                                    jnp.asarray(valid), cells,
-                                    jax.random.fold_in(key, start))
+                                    jnp.asarray(valid), cells, cell_idx,
+                                    cell_valid, jax.random.fold_in(key, start))
         sel = valid
         color[idx[sel]] = np.asarray(c)[sel]
         depth[idx[sel]] = np.asarray(dpt)[sel]
