@@ -34,9 +34,11 @@ def cross(a, b):
     return jnp.cross(a, b)
 
 
-def safe_normalize(v, axis=-1, eps=1e-20):
-    n = jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=True))
-    return v / jnp.maximum(n, eps)
+def safe_normalize(v, axis=-1, eps=1e-15):
+    # max() inside the sqrt keeps the zero-vector gradient finite; eps² must
+    # stay representable in f32 (no subnormal underflow back to sqrt(0))
+    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=axis, keepdims=True), eps * eps))
+    return v / n
 
 
 def transform_point(mat, p):
@@ -117,7 +119,9 @@ def sphere_cast(local_o, local_d, radius, solid):
     b = dot(local_o, local_d)
     c = dot(local_o, local_o) - radius * radius
     delta = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+    # clamp away from 0: sqrt'(0) is infinite and NaN-poisons gradients of
+    # miss lanes (0 cotangent × inf); forward values unchanged beyond ~1e-15
+    sq = jnp.sqrt(jnp.maximum(delta, 1e-30))
     a_safe = jnp.maximum(a, 1e-30)
     t_near = (-b - sq) / a_safe
     t_far = (-b + sq) / a_safe

@@ -20,6 +20,13 @@ SHADOW_BIAS = 1e-3
 PI = jnp.pi
 
 
+def safe_sqrt(x, eps=1e-12):
+    """sqrt with a clamped argument: identical forward values away from 0
+    (and within ~1e-6 at 0) but a finite gradient at the boundary — sqrt(0)
+    has an infinite VJP which poisons scene-parameter gradients."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def reflect(i, n):
     """GLSL-style reflect — src/raytracing.rs:714-718."""
     return i - 2.0 * dot(n, i)[..., None] * n
@@ -47,10 +54,9 @@ def create_transmission(normal, incident, point, index):
     eta = eta_i / jnp.maximum(eta_t, 1e-30)
     k = 1.0 - eta * eta * (1.0 - idn * idn)
     valid = k >= 0.0
-    k_safe = jnp.maximum(k, 0.0)
     origin = point + ref_n * (-SHADOW_BIAS)
     direction = (incident + idn[..., None] * ref_n) * eta[..., None] \
-        - ref_n * jnp.sqrt(k_safe)[..., None]
+        - ref_n * safe_sqrt(k)[..., None]
     return origin, direction, valid
 
 
@@ -61,10 +67,10 @@ def fresnel(incident, normal, index):
     flip = i_dot_n > 0.0
     eta_i = jnp.where(flip, index, 1.0)
     eta_t = jnp.where(flip, 1.0, index)
-    sin_t = eta_i / jnp.maximum(eta_t, 1e-30) * jnp.sqrt(
-        jnp.maximum(1.0 - i_dot_n * i_dot_n, 0.0))
+    sin_t = eta_i / jnp.maximum(eta_t, 1e-30) * safe_sqrt(
+        1.0 - i_dot_n * i_dot_n)
     tir = sin_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0))
+    cos_t = safe_sqrt(1.0 - sin_t * sin_t)
     cos_i = jnp.abs(cos_t)
     r_s = ((eta_t * cos_i) - (eta_i * cos_t)) / jnp.maximum(
         (eta_t * cos_i) + (eta_i * cos_t), 1e-30)
@@ -96,7 +102,7 @@ def jitter(key, direction, spread):
     u1 = u[..., 0]
     u2 = u[..., 1]
     z = z_lo + (1.0 - z_lo) * u1
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    r = safe_sqrt(1.0 - z * z)
     theta = -PI + 2.0 * PI * u2
     x = r * jnp.cos(theta)
     y = r * jnp.sin(theta)

@@ -125,7 +125,12 @@ def hit_attributes(sa, static, prep: TrianglePrep, wvn, o, d, hit: Hit) -> HitAt
     when UV topology is missing, src/shape/mesh.rs:105-161).
     """
     n_rays = o.shape[0]
-    point = o + hit.t[:, None] * d
+    # INF miss distances must not enter any differentiable expression: a
+    # zero cotangent times an infinite primal is NaN, which would poison
+    # scene-parameter gradients (lights/camera/materials) through the
+    # backward pass even though forward values are where-masked.
+    t_safe = jnp.where(hit.hit, hit.t, 0.0)
+    point = o + t_safe[:, None] * d
     mat = sa.inst_mat[hit.inst]
     obj_id = sa.inst_obj_id[hit.inst]
 
@@ -134,7 +139,7 @@ def hit_attributes(sa, static, prep: TrianglePrep, wvn, o, d, hit: Hit) -> HitAt
 
     if static.has_mesh:
         tri = hit.tri
-        u, v, d_n = tri_barycentrics(o, d, hit.t, tri, prep)
+        u, v, d_n = tri_barycentrics(o, d, t_safe, tri, prep)
         w0 = 1.0 - u - v
         backface = (d_n * prep.backface_sign[tri]) > 0.0
         orient = jnp.where(backface, -1.0, 1.0)
@@ -178,13 +183,14 @@ def hit_attributes(sa, static, prep: TrianglePrep, wvn, o, d, hit: Hit) -> HitAt
         solid = (~((sa.materials.alpha[mat] < 1.0) | has_alpha_tex)
                  & sa.materials.backface_culling[mat])
         _, _, inside = sphere_cast(lo, ld, radius, solid)
-        sph_n = sphere_hit_normal(lo, ld, hit.t, inside, trans)
+        sph_n = sphere_hit_normal(lo, ld, t_safe, inside, trans)
         sph_n = jnp.where(sa.inst_flip[hit.inst][:, None], -sph_n, sph_n)
 
-        lp = lo + hit.t[:, None] * ld
+        lp = lo + t_safe[:, None] * ld
         theta = jnp.arctan2(-lp[:, 2], lp[:, 0])
         su = (theta + jnp.pi) / (2.0 * jnp.pi)
-        cosphi = jnp.clip(-lp[:, 1] / jnp.maximum(radius, 1e-30), -1.0, 1.0)
+        cosphi = jnp.clip(-lp[:, 1] / jnp.maximum(radius, 1e-30),
+                          -1.0 + 1e-7, 1.0 - 1e-7)
         sv = jnp.arccos(cosphi) / jnp.pi
         sph_uv = jnp.stack([su, -sv], -1)
 

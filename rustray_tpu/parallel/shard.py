@@ -202,10 +202,11 @@ def make_sharded_value_and_grad(sa_template, static, cfg: RaytracingConfig,
                                   cells, cell_idx, cell_valid, key)
             c = jax.lax.psum(c, "samples") * inv_s
             err = (c - target) ** 2
-            return jnp.sum(jnp.where(valid[:, None], err, 0.0))
+            # normalized here so loss AND grads share the same scale
+            return jnp.sum(jnp.where(valid[:, None], err, 0.0)) / (n_pix_total * 3)
 
         loss, grads = jax.value_and_grad(local_loss)(params)
-        loss = jax.lax.psum(loss, "rays") / (n_pix_total * 3)
+        loss = jax.lax.psum(loss, "rays")
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.psum(g, ("rays", "samples")), grads)
         return loss, grads

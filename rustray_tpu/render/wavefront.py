@@ -88,7 +88,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
         up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
         fwd = jnp.array([0.0, 0.0, 1.0], jnp.float32)
         tangent = jnp.cross(surface_normal, up)
-        tl = jnp.linalg.norm(tangent, axis=-1)
+        tl = shade_ops.safe_sqrt(jnp.sum(tangent * tangent, axis=-1), 1e-30)
         tangent = jnp.where((tl <= 1e-4)[..., None],
                             jnp.cross(surface_normal, fwd), tangent)
         tangent = safe_normalize(tangent)
@@ -137,18 +137,22 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
 
     reflect_dir = shade_ops.reflect(-dtl, surface_normal[:, None])
     view_dir = safe_normalize(-d)
-    spec_dot = jnp.maximum(dot(reflect_dir, view_dir[:, None]), 0.0)
+    # the 1e-30 floor keeps pow's gradient w.r.t. shininess finite at
+    # spec_dot == 0 (x^p·ln x → 0·(-inf) = NaN); forward values unchanged
+    # (1e-30^p underflows to 0 for any shininess > ~0.25)
+    spec_dot = jnp.maximum(dot(reflect_dir, view_dir[:, None]), 1e-30)
     light_power = jnp.power(spec_dot, mats.shininess[mat][:, None])
     spec_term = spec_rgb[:, None] * light_power[..., None]
 
-    ldist = jnp.linalg.norm(to_light_pt, axis=-1)          # (N, L)
+    ldist = shade_ops.safe_sqrt(jnp.sum(to_light_pt * to_light_pt, axis=-1))  # (N, L)
     # quirk: falloff divides by 4π·distance (norm, not norm²)
     intensity = jnp.where(is_dir, sa.lights.intensity[None],
                           sa.lights.intensity[None]
                           / (4.0 * jnp.pi * jnp.maximum(ldist, 1e-30)))
     is_spot = (lkind == 2)[None, :]
     spot_cos = dot(-dtl, safe_normalize(ldir)[None])
-    spot_angle = jnp.arccos(jnp.clip(spot_cos, -1.0, 1.0))
+    # clip strictly inside (-1, 1): arccos has infinite slope at ±1
+    spot_angle = jnp.arccos(jnp.clip(spot_cos, -1.0 + 1e-7, 1.0 - 1e-7))
     intensity = jnp.where(is_spot & (spot_angle > sa.lights.max_angle[None]),
                           0.0, intensity)
 
@@ -165,7 +169,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     sh_d = safe_normalize(shadow_dir.reshape(n_rays * L, 3))
     sh_hit = trace_closest(sa, static, prep, sh_o, sh_d, for_shadow=True,
                            allow_reflection_only=allow_ro)
-    sh_t = sh_hit.t.reshape(n_rays, L)
+    sh_t = jnp.where(sh_hit.hit, sh_hit.t, 0.0).reshape(n_rays, L)
     sh_found = sh_hit.hit.reshape(n_rays, L)
     in_light = ~sh_found | (~is_dir & (sh_t > ldist))
 
@@ -230,7 +234,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     alpha_zero = jnp.trunc(jnp.abs(alpha) * 1e6) == 0.0
 
     aov = dict(
-        depth=jnp.where(live, hit.t, 0.0),
+        depth=jnp.where(live, t_safe, 0.0),
         normal=jnp.where(live[..., None], attrs.normal, 0.0),
         obj_id=jnp.where(live, attrs.obj_id, 0),
     )

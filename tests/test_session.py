@@ -1,0 +1,55 @@
+import os
+
+import numpy as np
+import pytest
+
+import rustray_tpu as rt
+from rustray_tpu.cli import parse_args
+from rustray_tpu.run import RenderSession
+
+
+def test_cli_arg_parsing():
+    opts = parse_args(["cmd", "scene/spheres.json", "800x600", "samples=16",
+                       "monte_carlo=1", "no-animation", "start=1"])
+    assert not opts["window"]
+    assert opts["scenes"] == ["scene/spheres.json"]
+    assert opts["width"] == 800 and opts["height"] == 600
+    assert opts["samples"] == 16
+    assert opts["monte_carlo"] is True
+    assert not opts["animation"]
+    assert opts["start"]
+
+
+def test_cli_defaults():
+    opts = parse_args([])
+    assert opts["window"] and opts["animation"]
+    assert opts["monte_carlo"] is None and opts["samples"] is None
+
+
+def test_session_renders_and_saves(tmp_path, reference_scenes):
+    sess = RenderSession(24, 18, [os.path.join(reference_scenes, "floor.json")],
+                        animate=False, out_dir=str(tmp_path),
+                        engine=rt.EngineConfig(queue_factor=8.0))
+    sess.init()
+    sess.scene.raytracing_config.max_recursion = 1
+    sess.run()
+    pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert len(pngs) == 1
+    from PIL import Image
+    img = np.asarray(Image.open(tmp_path / pngs[0]))
+    assert img.shape == (18, 24, 3) or img.shape == (18, 24, 4)
+    assert img.max() > 0
+
+
+def test_session_pick(reference_scenes):
+    sess = RenderSession(32, 24, [os.path.join(reference_scenes, "spheres.json")],
+                        animate=False)
+    sess.init()
+    # center pixel hits sphere_texture (0,-1,-10) region: pick returns id+name
+    res = sess.pick(16, 12)
+    assert res is not None
+    obj_id, name, dist = res
+    assert name.startswith("sphere")
+    assert dist > 0
+    # sky pixel misses
+    assert sess.pick(0, 0) is None
