@@ -77,6 +77,11 @@ class EngineConfig:
     - ``seed``: base RNG seed for deterministic, replayable Monte-Carlo.
     - ``use_bvh_min_items``: object count above which the BVH path is used
       (reference BVH_MIN_ITEMS=50, src/raytracing.rs:23).
+    - ``accel``: "auto" | "on" | "off" — cluster-BVH traversal
+      (block-coherent culling) instead of the dense linear scan.  "auto"
+      enables it once the pool exceeds ``accel_min_tris`` (the moral
+      equivalent of the reference's BVH_MIN_ITEMS gate).
+    - ``accel_block``: rays per traversal block (coherence granularity).
     """
     chunk_pixels: int = 65536
     queue_factor: float = 4.0
@@ -84,3 +89,14 @@ class EngineConfig:
     seed: int = 0
     use_bvh_min_items: int = 50
     deterministic: bool = True
+    accel: str = "auto"
+    accel_block: int = 1024
+    accel_gather: int = 32
+    accel_min_tris: int = 2048
+
+    def use_accel(self, static) -> bool:
+        if self.accel == "off" or static.n_clusters == 0:
+            return False
+        if self.accel == "on":
+            return True
+        return static.n_tris >= self.accel_min_tris

@@ -66,8 +66,14 @@ def _sphere_solid(sa, for_shadow: bool):
 
 def trace_closest(sa, static, prep: TrianglePrep, o, d,
                   for_shadow: bool, allow_reflection_only: bool,
-                  tri_tile: int = 1024) -> Hit:
-    """o (N,3), d (N,3) normalized.  Static flags select compile-time paths."""
+                  tri_tile: int = 1024, accel_boxes=None,
+                  accel_block: int = 1024, accel_gather: int = 32) -> Hit:
+    """o (N,3), d (N,3) normalized.  Static flags select compile-time paths.
+
+    ``accel_boxes``: optional (w_lo, w_hi) world cluster AABBs from
+    :func:`rustray_tpu.ops.cluster_trace.world_cluster_aabbs`; when given,
+    mesh intersection uses block-coherent cluster traversal instead of the
+    dense linear scan (same winners, bounded work)."""
     n = o.shape[0]
     inst_ok = instance_mask(sa, for_shadow, allow_reflection_only)
 
@@ -78,7 +84,15 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
 
     if static.has_mesh:
         tri_ok = sa.tri_valid & inst_ok[sa.tri_inst]
-        t_tri, tri_idx = closest_tri(o, d, prep, tri_ok, tri_tile)
+        if accel_boxes is not None:
+            from .cluster_trace import recompute_t, select_closest_clusters
+            cl_ok = sa.cl_valid & inst_ok[sa.cl_inst]
+            found, tri_idx = select_closest_clusters(
+                o, d, prep, tri_ok, accel_boxes[0], accel_boxes[1], cl_ok,
+                static.cluster_size, accel_block, accel_gather)
+            t_tri = recompute_t(o, d, prep, tri_idx, found)
+        else:
+            t_tri, tri_idx = closest_tri(o, d, prep, tri_ok, tri_tile)
         better = t_tri < best_t
         best_t = jnp.where(better, t_tri, best_t)
         best_inst = jnp.where(better, sa.tri_inst[tri_idx], best_inst)

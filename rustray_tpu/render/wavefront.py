@@ -34,6 +34,7 @@ from ..ops import rays as rays_ops
 from ..ops import shade as shade_ops
 from ..ops import texture as tex_ops
 from ..ops.intersect import dot, prepare_triangles, safe_normalize
+from ..ops.cluster_trace import world_cluster_aabbs
 from ..ops.traverse import (hit_attributes, prepare_vertex_normals,
                             trace_closest)
 from ..scene.material import TextureType
@@ -64,7 +65,8 @@ def _tex_scalar(sa, static, mat, tex_type, uv):
 
 
 def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
-                 o, d, weight, alive, depth, key):
+                 o, d, weight, alive, depth, key, boxes=None,
+                 accel_block: int = 1024, accel_gather: int = 32):
     """Trace + shade one wavefront level.
 
     Returns (emission (N,3) pre-weight, aov dict, children dict).
@@ -73,7 +75,9 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     d = safe_normalize(d)
     allow_ro = depth > 1
     hit = trace_closest(sa, static, prep, o, d, for_shadow=False,
-                        allow_reflection_only=allow_ro)
+                        allow_reflection_only=allow_ro,
+                        accel_boxes=boxes, accel_block=accel_block,
+                        accel_gather=accel_gather)
     attrs = hit_attributes(sa, static, prep, wvn, o, d, hit)
     mat = attrs.mat
     point = attrs.point
@@ -168,7 +172,9 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     sh_o = shadow_o.reshape(n_rays * L, 3)
     sh_d = safe_normalize(shadow_dir.reshape(n_rays * L, 3))
     sh_hit = trace_closest(sa, static, prep, sh_o, sh_d, for_shadow=True,
-                           allow_reflection_only=allow_ro)
+                           allow_reflection_only=allow_ro,
+                           accel_boxes=boxes, accel_block=accel_block,
+                           accel_gather=accel_gather)
     sh_t = jnp.where(sh_hit.hit, sh_hit.t, 0.0).reshape(n_rays, L)
     sh_found = sh_hit.hit.reshape(n_rays, L)
     in_light = ~sh_found | (~is_dir & (sh_t > ldist))
@@ -257,7 +263,8 @@ def _config_key(static, cfg: RaytracingConfig, engine: EngineConfig, n_levels: i
             cfg.aperture_size, cfg.fog_density, tuple(cfg.fog_color),
             cfg.max_recursion, cfg.gamma_correction,
             engine.chunk_pixels, engine.queue_factor, engine.tri_tile,
-            engine.seed, n_levels)
+            engine.seed, n_levels, engine.accel, engine.accel_block,
+            engine.accel_gather, engine.accel_min_tris)
 
 
 def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
@@ -272,6 +279,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
     divided by the sample count (callers divide / psum).
     """
     cell_size = sample_cell_size(cfg.samples)
+    use_accel = engine.use_accel(static)
 
     def render_sample(sa, prep, wvn, px, py, valid, cell, key):
         """One AA/MC sample for the pixel chunk.
@@ -287,6 +295,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
         """
         n = px.shape[0]
         cap = int(max(n, round(n * engine.queue_factor)))
+        boxes = world_cluster_aabbs(sa) if use_accel else None
         o, d = rays_ops.primary_rays(
             sa.camera, static.width, static.height, px, py,
             cell[0], cell[1], cell_size,
@@ -301,7 +310,9 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
         for depth in range(1, n_levels + 1):
             lkey = jax.random.fold_in(key, depth)
             emission, aov, ch = _shade_level(
-                sa, static, prep, wvn, cfg, o, d, weight, alive, depth, lkey)
+                sa, static, prep, wvn, cfg, o, d, weight, alive, depth, lkey,
+                boxes=boxes, accel_block=engine.accel_block,
+                accel_gather=engine.accel_gather)
             contrib = jnp.where(alive[..., None], weight * emission, 0.0)
             if depth == 1:
                 aov0 = aov

@@ -86,7 +86,8 @@ class SceneArrays:
     # sphere shortcut list
     sphere_idx: np.ndarray     # (S,) int32 instance indices
     sphere_valid: np.ndarray   # (S,) bool
-    # triangle pool (object space)
+    # triangle pool (object space, cluster-major: cluster c owns the slab
+    # [c*cluster_size, (c+1)*cluster_size), padded with invalid tris)
     verts: np.ndarray          # (V, 3)
     tris: np.ndarray           # (T, 3) int32
     tri_inst: np.ndarray       # (T,) int32
@@ -96,6 +97,11 @@ class SceneArrays:
     tri_n_idx: np.ndarray      # (T, 3) int32 (-1 = none)
     vnormals: np.ndarray       # (Vn, 3) object-space loaded normals
     vn_inst: np.ndarray        # (Vn,) int32 owner instance
+    # cluster-BVH leaves (object-space AABBs; world AABBs derived in-jit)
+    cl_lo: np.ndarray          # (C, 3) object-space AABB min
+    cl_hi: np.ndarray          # (C, 3)
+    cl_inst: np.ndarray        # (C,) int32 owner instance
+    cl_valid: np.ndarray       # (C,) bool
     # materials / lights / camera / textures
     materials: MaterialsSoA
     lights: LightsSoA
@@ -115,11 +121,19 @@ class SceneStatic:
     has_any_texture: bool
     has_normal_tex: bool
     has_mesh: bool
+    n_clusters: int = 0
+    cluster_size: int = 128
 
 
 def compile_scene(scene: Scene, width: int = 0, height: int = 0,
-                  tri_pad: int = 128):
-    """Flatten a scene into (SceneArrays, SceneStatic)."""
+                  tri_pad: int = 128, cluster_size: int = 128):
+    """Flatten a scene into (SceneArrays, SceneStatic).
+
+    Mesh triangles are laid out *cluster-major*: each mesh's triangles are
+    permuted into cluster-BVH leaf order (rustray_tpu.accel.builder) and
+    each leaf is padded to exactly ``cluster_size`` slots, so cluster ``c``
+    is the contiguous slab [c*cluster_size, (c+1)*cluster_size) of the pool
+    — the unit of DMA/culling for the device traversal."""
     if width and height:
         scene.cam.init(width, height)
 
@@ -190,11 +204,15 @@ def compile_scene(scene: Scene, width: int = 0, height: int = 0,
     inst_flip = np.zeros((I,), bool)
     inst_obj_id = np.zeros((I,), np.int32)
 
-    verts_list, tris_list, tri_inst_list = [], [], []
+    verts_list, tris_list, tri_inst_list, tri_valid_list = [], [], [], []
     uv_list, tri_uv_list = [], []
     vn_list, tri_n_list, vn_inst_list = [], [], []
+    cl_lo_list, cl_hi_list, cl_inst_list = [], [], []
     v_base = u_base = n_base = 0
     sphere_indices = []
+    K = cluster_size
+
+    from ..accel.builder import build_clusters
 
     for ii, item in enumerate(items):
         b = item.basic
@@ -211,22 +229,46 @@ def compile_scene(scene: Scene, width: int = 0, height: int = 0,
         elif isinstance(item, Mesh):
             inst_kind[ii] = 1
             nt = item.indices.shape[0]
-            verts_list.append(item.vertices)
-            tris_list.append(item.indices + v_base)
-            tri_inst_list.append(np.full((nt,), ii, np.int32))
+            m_tris = np.asarray(item.indices, np.int32) + v_base
             if item.uvs.shape[0] and item.uv_indices.shape[0] == nt:
+                m_uv = np.asarray(item.uv_indices, np.int32) + u_base
                 uv_list.append(item.uvs)
-                tri_uv_list.append(item.uv_indices + u_base)
                 u_base += item.uvs.shape[0]
             else:
-                tri_uv_list.append(np.full((nt, 3), -1, np.int32))
+                m_uv = np.full((nt, 3), -1, np.int32)
             if item.normals.shape[0] and item.normal_indices.shape[0] == nt:
+                m_n = np.asarray(item.normal_indices, np.int32) + n_base
                 vn_list.append(item.normals)
                 vn_inst_list.append(np.full((item.normals.shape[0],), ii, np.int32))
-                tri_n_list.append(item.normal_indices + n_base)
                 n_base += item.normals.shape[0]
             else:
-                tri_n_list.append(np.full((nt, 3), -1, np.int32))
+                m_n = np.full((nt, 3), -1, np.int32)
+
+            # cluster-BVH leaf order + per-cluster padding to K slots
+            perm, counts, boxes = build_clusters(item.vertices, item.indices, K)
+            n_cl = counts.shape[0]
+            padded = n_cl * K
+            cum = np.cumsum(counts) - counts
+            pos = (np.repeat(np.arange(n_cl) * K, counts)
+                   + np.arange(nt) - np.repeat(cum, counts))
+            dst_tris = np.zeros((padded, 3), np.int32)
+            dst_tris[pos] = m_tris[perm]
+            dst_uv = np.full((padded, 3), -1, np.int32)
+            dst_uv[pos] = m_uv[perm]
+            dst_n = np.full((padded, 3), -1, np.int32)
+            dst_n[pos] = m_n[perm]
+            dst_valid = np.zeros((padded,), bool)
+            dst_valid[pos] = True
+
+            verts_list.append(item.vertices)
+            tris_list.append(dst_tris)
+            tri_inst_list.append(np.full((padded,), ii, np.int32))
+            tri_valid_list.append(dst_valid)
+            tri_uv_list.append(dst_uv)
+            tri_n_list.append(dst_n)
+            cl_lo_list.append(boxes[:, :3])
+            cl_hi_list.append(boxes[:, 3:])
+            cl_inst_list.append(np.full((n_cl,), ii, np.int32))
             v_base += item.vertices.shape[0]
 
     det = np.linalg.det(inst_trans[:, :3, :3].astype(np.float64))
@@ -235,19 +277,33 @@ def compile_scene(scene: Scene, width: int = 0, height: int = 0,
     verts = np.concatenate(verts_list) if verts_list else np.zeros((1, 3), np.float32)
     tris = np.concatenate(tris_list) if tris_list else np.zeros((1, 3), np.int32)
     tri_inst = np.concatenate(tri_inst_list) if tri_inst_list else np.zeros((1,), np.int32)
+    tri_valid_arr = (np.concatenate(tri_valid_list) if tri_valid_list
+                     else np.zeros((1,), bool))
     tri_uv_idx = np.concatenate(tri_uv_list) if tri_uv_list else np.full((1, 3), -1, np.int32)
     tri_n_idx = np.concatenate(tri_n_list) if tri_n_list else np.full((1, 3), -1, np.int32)
     uvs = np.concatenate(uv_list) if uv_list else np.zeros((1, 2), np.float32)
     vnormals = np.concatenate(vn_list) if vn_list else np.zeros((1, 3), np.float32)
     vn_inst = np.concatenate(vn_inst_list) if vn_inst_list else np.zeros((1,), np.int32)
 
-    n_tris_real = tris.shape[0] if tris_list else 0
+    n_tris_real = int(tri_valid_arr.sum())
     T = max(tri_pad, -(-max(1, tris.shape[0]) // tri_pad) * tri_pad)
-    tri_valid = _pad_to(np.ones((tris.shape[0],), bool) if tris_list else np.zeros((1,), bool), T, False)
+    tri_valid = _pad_to(tri_valid_arr, T, False)
     tris = _pad_to(tris, T)
     tri_inst = _pad_to(tri_inst, T)
     tri_uv_idx = _pad_to(tri_uv_idx, T, -1)
     tri_n_idx = _pad_to(tri_n_idx, T, -1)
+
+    # ----- clusters (global index c = pool slab [c*K, (c+1)*K))
+    n_clusters = sum(a.shape[0] for a in cl_inst_list)
+    C = max(1, -(-max(1, n_clusters) // 8) * 8)
+    cl_lo = _pad_to(np.concatenate(cl_lo_list).astype(np.float32)
+                    if cl_lo_list else np.zeros((1, 3), np.float32), C)
+    cl_hi = _pad_to(np.concatenate(cl_hi_list).astype(np.float32)
+                    if cl_hi_list else np.zeros((1, 3), np.float32), C)
+    cl_inst = _pad_to(np.concatenate(cl_inst_list)
+                      if cl_inst_list else np.zeros((1,), np.int32), C)
+    cl_valid = _pad_to(np.ones((n_clusters,), bool) if cl_inst_list
+                       else np.zeros((1,), bool), C, False)
 
     S = max(1, len(sphere_indices))
     sphere_idx = _pad_to(np.asarray(sphere_indices, np.int32) if sphere_indices
@@ -285,6 +341,7 @@ def compile_scene(scene: Scene, width: int = 0, height: int = 0,
         verts=verts, tris=tris, tri_inst=tri_inst, tri_valid=tri_valid,
         tri_uv_idx=tri_uv_idx, uvs=uvs, tri_n_idx=tri_n_idx,
         vnormals=vnormals, vn_inst=vn_inst,
+        cl_lo=cl_lo, cl_hi=cl_hi, cl_inst=cl_inst, cl_valid=cl_valid,
         materials=materials, lights=lights, camera=camera,
         tex_texels=atlas.finalize(),
     )
@@ -295,5 +352,6 @@ def compile_scene(scene: Scene, width: int = 0, height: int = 0,
         has_any_texture=any(m.has_any_texture() for m in mat_objs),
         has_normal_tex=any(m.has_texture(TextureType.Normal) for m in mat_objs),
         has_mesh=bool(verts_list),
+        n_clusters=n_clusters, cluster_size=K,
     )
     return arrays, static
