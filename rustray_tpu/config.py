@@ -93,6 +93,10 @@ class EngineConfig:
     accel_block: int = 1024
     accel_gather: int = 32
     accel_min_tris: int = 2048
+    # Pallas TPU trace kernel (ops/pallas_trace): "auto" uses it whenever the
+    # cluster path is active AND the backend is a real TPU; "on"/"off" force.
+    pallas: str = "auto"
+    pallas_block: int = 512
 
     def use_accel(self, static) -> bool:
         if self.accel == "off" or static.n_clusters == 0:
@@ -100,3 +104,13 @@ class EngineConfig:
         if self.accel == "on":
             return True
         return static.n_tris >= self.accel_min_tris
+
+    def use_pallas(self, static) -> bool:
+        if self.pallas == "off" or static.n_clusters == 0:
+            return False
+        import jax
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+        if self.pallas == "on":
+            return True
+        return self.use_accel(static)

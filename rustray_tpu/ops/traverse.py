@@ -67,7 +67,8 @@ def _sphere_solid(sa, for_shadow: bool):
 def trace_closest(sa, static, prep: TrianglePrep, o, d,
                   for_shadow: bool, allow_reflection_only: bool,
                   tri_tile: int = 1024, accel_boxes=None,
-                  accel_block: int = 1024, accel_gather: int = 32) -> Hit:
+                  accel_block: int = 1024, accel_gather: int = 32,
+                  accel_impl: str = "xla") -> Hit:
     """o (N,3), d (N,3) normalized.  Static flags select compile-time paths.
 
     ``accel_boxes``: optional (w_lo, w_hi) world cluster AABBs from
@@ -87,9 +88,15 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
         if accel_boxes is not None:
             from .cluster_trace import recompute_t, select_closest_clusters
             cl_ok = sa.cl_valid & inst_ok[sa.cl_inst]
-            found, tri_idx = select_closest_clusters(
-                o, d, prep, tri_ok, accel_boxes[0], accel_boxes[1], cl_ok,
-                static.cluster_size, accel_block, accel_gather)
+            if accel_impl == "pallas":
+                from .pallas_trace import trace_tris_pallas
+                found, tri_idx = trace_tris_pallas(
+                    o, d, prep, tri_ok, accel_boxes[0], accel_boxes[1],
+                    cl_ok, static.cluster_size, block_n=accel_block)
+            else:
+                found, tri_idx = select_closest_clusters(
+                    o, d, prep, tri_ok, accel_boxes[0], accel_boxes[1], cl_ok,
+                    static.cluster_size, accel_block, accel_gather)
             t_tri = recompute_t(o, d, prep, tri_idx, found)
         else:
             t_tri, tri_idx = closest_tri(o, d, prep, tri_ok, tri_tile)

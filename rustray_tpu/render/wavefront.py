@@ -66,7 +66,8 @@ def _tex_scalar(sa, static, mat, tex_type, uv):
 
 def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
                  o, d, weight, alive, depth, key, boxes=None,
-                 accel_block: int = 1024, accel_gather: int = 32):
+                 accel_block: int = 1024, accel_gather: int = 32,
+                 accel_impl: str = "xla"):
     """Trace + shade one wavefront level.
 
     Returns (emission (N,3) pre-weight, aov dict, children dict).
@@ -77,7 +78,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     hit = trace_closest(sa, static, prep, o, d, for_shadow=False,
                         allow_reflection_only=allow_ro,
                         accel_boxes=boxes, accel_block=accel_block,
-                        accel_gather=accel_gather)
+                        accel_gather=accel_gather, accel_impl=accel_impl)
     attrs = hit_attributes(sa, static, prep, wvn, o, d, hit)
     mat = attrs.mat
     point = attrs.point
@@ -174,7 +175,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     sh_hit = trace_closest(sa, static, prep, sh_o, sh_d, for_shadow=True,
                            allow_reflection_only=allow_ro,
                            accel_boxes=boxes, accel_block=accel_block,
-                           accel_gather=accel_gather)
+                           accel_gather=accel_gather, accel_impl=accel_impl)
     sh_t = jnp.where(sh_hit.hit, sh_hit.t, 0.0).reshape(n_rays, L)
     sh_found = sh_hit.hit.reshape(n_rays, L)
     in_light = ~sh_found | (~is_dir & (sh_t > ldist))
@@ -264,7 +265,8 @@ def _config_key(static, cfg: RaytracingConfig, engine: EngineConfig, n_levels: i
             cfg.max_recursion, cfg.gamma_correction,
             engine.chunk_pixels, engine.queue_factor, engine.tri_tile,
             engine.seed, n_levels, engine.accel, engine.accel_block,
-            engine.accel_gather, engine.accel_min_tris)
+            engine.accel_gather, engine.accel_min_tris, engine.pallas,
+            engine.pallas_block)
 
 
 def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
@@ -280,6 +282,9 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
     """
     cell_size = sample_cell_size(cfg.samples)
     use_accel = engine.use_accel(static)
+    use_pallas = engine.use_pallas(static)
+    accel_impl = "pallas" if use_pallas else "xla"
+    accel_block = engine.pallas_block if use_pallas else engine.accel_block
 
     def render_sample(sa, prep, wvn, px, py, valid, cell, key):
         """One AA/MC sample for the pixel chunk.
@@ -311,8 +316,8 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
             lkey = jax.random.fold_in(key, depth)
             emission, aov, ch = _shade_level(
                 sa, static, prep, wvn, cfg, o, d, weight, alive, depth, lkey,
-                boxes=boxes, accel_block=engine.accel_block,
-                accel_gather=engine.accel_gather)
+                boxes=boxes, accel_block=accel_block,
+                accel_gather=engine.accel_gather, accel_impl=accel_impl)
             contrib = jnp.where(alive[..., None], weight * emission, 0.0)
             if depth == 1:
                 aov0 = aov
@@ -361,6 +366,11 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
         return acc, aov0["depth"], aov0["normal"], id_acc
 
     def chunk_fn(sa, prep, wvn, px, py, valid, cells, cell_idx, cell_valid, key):
+        if use_pallas and prep.pallas_pack is None:
+            from ..ops.pallas_trace import pack_cluster_tris
+            prep = prep.replace(pallas_pack=pack_cluster_tris(
+                prep, static.n_clusters, static.cluster_size,
+                out_rows=sa.cl_lo.shape[0]))
         if cells.shape[0] == 1:
             color, depth, normal, obj_id = render_sample(
                 sa, prep, wvn, px, py, valid, cells[0],
