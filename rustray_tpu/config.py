@@ -75,8 +75,6 @@ class EngineConfig:
       Raise for exact small renders (tests use 64 = full tree).
     - ``tri_tile``: triangles per inner intersection tile (static scan step).
     - ``seed``: base RNG seed for deterministic, replayable Monte-Carlo.
-    - ``use_bvh_min_items``: object count above which the BVH path is used
-      (reference BVH_MIN_ITEMS=50, src/raytracing.rs:23).
     - ``accel``: "auto" | "on" | "off" — cluster-BVH traversal
       (block-coherent culling) instead of the dense linear scan.  "auto"
       enables it once the pool exceeds ``accel_min_tris`` (the moral
@@ -87,7 +85,6 @@ class EngineConfig:
     queue_factor: float = 4.0
     tri_tile: int = 2048
     seed: int = 0
-    use_bvh_min_items: int = 50
     deterministic: bool = True
     accel: str = "auto"
     accel_block: int = 1024

@@ -29,7 +29,7 @@ DEFAULT_RES = (800, 600)
 @dataclass
 class Stats:  # src/run.rs:45-95
     frame: int = 0
-    output_time: datetime.datetime = field(default_factory=datetime.datetime.utcnow)
+    output_time: datetime.datetime = field(default_factory=datetime.datetime.now)
     completed: bool = False
     rays_per_sec: float = 0.0
     last_render_seconds: float = 0.0
