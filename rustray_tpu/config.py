@@ -90,10 +90,18 @@ class EngineConfig:
     accel_block: int = 1024
     accel_gather: int = 32
     accel_min_tris: int = 2048
-    # Pallas TPU trace kernel (ops/pallas_trace): "auto" uses it whenever the
-    # cluster path is active AND the backend is a real TPU; "on"/"off" force.
+    # Pallas TPU work-list trace kernel (ops/pallas_trace): "auto" uses it
+    # whenever the cluster path is active AND the backend is a real TPU;
+    # "on"/"off" force.  ``pallas_percap`` caps cluster visits per ray
+    # block, ``pallas_avg`` sets the global work-list budget (blocks ×
+    # avg); overruns fall back to the exact XLA walk via lax.cond, so these
+    # are performance knobs, never correctness knobs.  ``pallas_interpret``
+    # runs the kernel in the Pallas interpreter (CPU tests).
     pallas: str = "auto"
     pallas_block: int = 512
+    pallas_percap: int = 64
+    pallas_avg: int = 24
+    pallas_interpret: bool = False
 
     def use_accel(self, static) -> bool:
         if self.accel == "off" or static.n_clusters == 0:
@@ -105,9 +113,9 @@ class EngineConfig:
     def use_pallas(self, static) -> bool:
         if self.pallas == "off" or static.n_clusters == 0:
             return False
+        if self.pallas == "on":   # forced (set pallas_interpret off-TPU)
+            return True
         import jax
         if jax.default_backend() not in ("tpu", "axon"):
             return False
-        if self.pallas == "on":
-            return True
         return self.use_accel(static)

@@ -156,18 +156,27 @@ def intersect_tri_tile(o, d, a_dot_n, n, g1, c1, g2, c2, tri_ok):
 
     o, d: (N, 3); n, g1, g2: (K, 3); a_dot_n, c1, c2, tri_ok: (K,).
     Returns (t, hit) of shape (N, K); t = INF where missed.
-    """
-    d_n = d @ n.T            # (N, K)
-    o_n = o @ n.T
-    d_g1 = d @ g1.T
-    o_g1 = o @ g1.T
-    d_g2 = d @ g2.T
-    o_g2 = o @ g2.T
 
+    Deliberately elementwise (VPU), NOT ``(N,3)@(3,K)`` matmuls: a K=3
+    contraction runs the 128×128 MXU at ~2% utilization, and — measured on
+    TPU — XLA's default f32 matmul precision (bf16 passes) perturbs t by up
+    to ~20% on edge-grazing rays.  The operation order matches the gathered
+    path (ops/cluster_trace._intersect_gathered) and the Pallas kernel
+    exactly, so all three paths agree to ULP-level.
+    """
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    n0, n1, n2 = n[:, 0][None], n[:, 1][None], n[:, 2][None]
+    g10, g11, g12 = g1[:, 0][None], g1[:, 1][None], g1[:, 2][None]
+    g20, g21, g22 = g2[:, 0][None], g2[:, 1][None], g2[:, 2][None]
+
+    d_n = dx * n0 + dy * n1 + dz * n2        # (N, K)
+    o_n = ox * n0 + oy * n1 + oz * n2
     denom_ok = jnp.abs(d_n) > 1e-30
     t = (a_dot_n[None, :] - o_n) / jnp.where(denom_ok, d_n, 1.0)
-    u = o_g1 + t * d_g1 + c1[None, :]
-    v = o_g2 + t * d_g2 + c2[None, :]
+    px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
+    u = px * g10 + py * g11 + pz * g12 + c1[None, :]
+    v = px * g20 + py * g21 + pz * g22 + c2[None, :]
 
     hit = (denom_ok & (t >= 0.0) & (u >= 0.0) & (v >= 0.0)
            & (u + v <= 1.0) & tri_ok[None, :])

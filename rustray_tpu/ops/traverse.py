@@ -14,6 +14,7 @@ Deviations (documented):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -68,13 +69,26 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
                   for_shadow: bool, allow_reflection_only: bool,
                   tri_tile: int = 1024, accel_boxes=None,
                   accel_block: int = 1024, accel_gather: int = 32,
-                  accel_impl: str = "xla") -> Hit:
+                  accel_impl: str = "xla", alive=None,
+                  pallas_block: int = 512, pallas_percap: int = 64,
+                  pallas_avg: int = 24, pallas_interpret: bool = False) -> Hit:
     """o (N,3), d (N,3) normalized.  Static flags select compile-time paths.
 
     ``accel_boxes``: optional (w_lo, w_hi) world cluster AABBs from
     :func:`rustray_tpu.ops.cluster_trace.world_cluster_aabbs`; when given,
     mesh intersection uses block-coherent cluster traversal instead of the
-    dense linear scan (same winners, bounded work)."""
+    dense linear scan (same winners, bounded work).
+
+    ``alive``: optional (N,) bool — rays whose result is unused.  Accel
+    paths replace dead rays with a far-away sentinel so they join no block
+    bounds and trigger no cluster visits (the results of dead lanes are
+    arbitrary and must be masked by the caller, which all callers do).
+
+    Instance-level culling note (the reference's scene BVH,
+    src/scene.rs:1681-1722): clusters never span instances, so the per-block
+    cluster AABB test subsumes an instance-AABB pre-pass for meshes — a
+    culled instance contributes no visited clusters.  Spheres are scanned
+    densely (cheap for the instance counts of the bundled scenes)."""
     n = o.shape[0]
     inst_ok = instance_mask(sa, for_shadow, allow_reflection_only)
 
@@ -87,16 +101,31 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
         tri_ok = sa.tri_valid & inst_ok[sa.tri_inst]
         if accel_boxes is not None:
             from .cluster_trace import recompute_t, select_closest_clusters
+            from .pallas_trace import DEAD_ORIGIN
             cl_ok = sa.cl_valid & inst_ok[sa.cl_inst]
+            if alive is not None:
+                o_t = jnp.where(alive[:, None], o, DEAD_ORIGIN)
+                d_t = jnp.where(alive[:, None], d, 1.0)
+            else:
+                o_t, d_t = o, d
             if accel_impl == "pallas":
                 from .pallas_trace import trace_tris_pallas
-                found, tri_idx = trace_tris_pallas(
-                    o, d, prep, tri_ok, accel_boxes[0], accel_boxes[1],
-                    cl_ok, static.cluster_size, block_n=accel_block)
+                found_p, tri_p, trunc = trace_tris_pallas(
+                    o_t, d_t, alive, prep, accel_boxes[0], accel_boxes[1],
+                    cl_ok, static.cluster_size, block_n=pallas_block,
+                    percap=pallas_percap, avg_visits=pallas_avg,
+                    interpret=pallas_interpret)
+                found, tri_idx = jax.lax.cond(
+                    trunc,
+                    lambda: select_closest_clusters(
+                        o_t, d_t, prep, tri_ok, accel_boxes[0],
+                        accel_boxes[1], cl_ok, static.cluster_size,
+                        accel_block, accel_gather),
+                    lambda: (found_p, tri_p))
             else:
                 found, tri_idx = select_closest_clusters(
-                    o, d, prep, tri_ok, accel_boxes[0], accel_boxes[1], cl_ok,
-                    static.cluster_size, accel_block, accel_gather)
+                    o_t, d_t, prep, tri_ok, accel_boxes[0], accel_boxes[1],
+                    cl_ok, static.cluster_size, accel_block, accel_gather)
             t_tri = recompute_t(o, d, prep, tri_idx, found)
         else:
             t_tri, tri_idx = closest_tri(o, d, prep, tri_ok, tri_tile)

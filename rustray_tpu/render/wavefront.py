@@ -66,19 +66,24 @@ def _tex_scalar(sa, static, mat, tex_type, uv):
 
 def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
                  o, d, weight, alive, depth, key, boxes=None,
-                 accel_block: int = 1024, accel_gather: int = 32,
-                 accel_impl: str = "xla"):
+                 engine: EngineConfig = None, accel_impl: str = "xla"):
     """Trace + shade one wavefront level.
 
     Returns (emission (N,3) pre-weight, aov dict, children dict).
     """
+    engine = engine or EngineConfig()
+    trace_kw = dict(accel_boxes=boxes, accel_block=engine.accel_block,
+                    accel_gather=engine.accel_gather, accel_impl=accel_impl,
+                    pallas_block=engine.pallas_block,
+                    pallas_percap=engine.pallas_percap,
+                    pallas_avg=engine.pallas_avg,
+                    pallas_interpret=engine.pallas_interpret)
     mats = sa.materials
     d = safe_normalize(d)
     allow_ro = depth > 1
     hit = trace_closest(sa, static, prep, o, d, for_shadow=False,
-                        allow_reflection_only=allow_ro,
-                        accel_boxes=boxes, accel_block=accel_block,
-                        accel_gather=accel_gather, accel_impl=accel_impl)
+                        allow_reflection_only=allow_ro, alive=alive,
+                        **trace_kw)
     attrs = hit_attributes(sa, static, prep, wvn, o, d, hit)
     mat = attrs.mat
     point = attrs.point
@@ -170,14 +175,18 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
         shadow_dir = jnp.where(mats.monte_carlo[mat][:, None, None], jit_dir, shadow_dir)
     shadow_o = (point + surface_normal * SHADOW_BIAS)[:, None] + 0.0 * shadow_dir
     n_rays = o.shape[0]
-    sh_o = shadow_o.reshape(n_rays * L, 3)
-    sh_d = safe_normalize(shadow_dir.reshape(n_rays * L, 3))
+    # light-major layout: lanes of one traversal block share a light, so
+    # block direction bounds stay tight (directions to/from one light) and
+    # the accel prologue culls aggressively; dead lanes (ray missed, or a
+    # disabled light) are masked so their blocks trigger no cluster visits
+    sh_o = jnp.swapaxes(shadow_o, 0, 1).reshape(L * n_rays, 3)
+    sh_d = safe_normalize(jnp.swapaxes(shadow_dir, 0, 1).reshape(L * n_rays, 3))
+    sh_alive = (live[None, :] & sa.lights.enabled[:, None]).reshape(L * n_rays)
     sh_hit = trace_closest(sa, static, prep, sh_o, sh_d, for_shadow=True,
-                           allow_reflection_only=allow_ro,
-                           accel_boxes=boxes, accel_block=accel_block,
-                           accel_gather=accel_gather, accel_impl=accel_impl)
-    sh_t = jnp.where(sh_hit.hit, sh_hit.t, 0.0).reshape(n_rays, L)
-    sh_found = sh_hit.hit.reshape(n_rays, L)
+                           allow_reflection_only=allow_ro, alive=sh_alive,
+                           **trace_kw)
+    sh_t = jnp.where(sh_hit.hit, sh_hit.t, 0.0).reshape(L, n_rays).T
+    sh_found = sh_hit.hit.reshape(L, n_rays).T
     in_light = ~sh_found | (~is_dir & (sh_t > ldist))
 
     # occluder alpha-texture attenuation (src/raytracing.rs:894-913).
@@ -189,8 +198,8 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
         occ_attrs = hit_attributes(sa, static, prep, wvn, sh_o, sh_d, sh_hit)
         occ_a, occ_has = _tex_scalar(sa, static, occ_attrs.mat, TextureType.Alpha,
                                      occ_attrs.uv)
-        shadow_alpha = shadow_alpha * jnp.where(occ_has.reshape(n_rays, L),
-                                                occ_a.reshape(n_rays, L), 1.0)
+        shadow_alpha = shadow_alpha * jnp.where(occ_has.reshape(L, n_rays).T,
+                                                occ_a.reshape(L, n_rays).T, 1.0)
     shadowed = mats.receive_shadow[mat][:, None] & ~in_light
     intensity = jnp.where(shadowed, intensity * (1.0 - shadow_alpha), intensity)
 
@@ -266,7 +275,8 @@ def _config_key(static, cfg: RaytracingConfig, engine: EngineConfig, n_levels: i
             engine.chunk_pixels, engine.queue_factor, engine.tri_tile,
             engine.seed, n_levels, engine.accel, engine.accel_block,
             engine.accel_gather, engine.accel_min_tris, engine.pallas,
-            engine.pallas_block)
+            engine.pallas_block, engine.pallas_percap, engine.pallas_avg,
+            engine.pallas_interpret)
 
 
 def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
@@ -284,7 +294,6 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
     use_accel = engine.use_accel(static)
     use_pallas = engine.use_pallas(static)
     accel_impl = "pallas" if use_pallas else "xla"
-    accel_block = engine.pallas_block if use_pallas else engine.accel_block
 
     def render_sample(sa, prep, wvn, px, py, valid, cell, key):
         """One AA/MC sample for the pixel chunk.
@@ -300,7 +309,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
         """
         n = px.shape[0]
         cap = int(max(n, round(n * engine.queue_factor)))
-        boxes = world_cluster_aabbs(sa) if use_accel else None
+        boxes = world_cluster_aabbs(sa) if (use_accel or use_pallas) else None
         o, d = rays_ops.primary_rays(
             sa.camera, static.width, static.height, px, py,
             cell[0], cell[1], cell_size,
@@ -316,8 +325,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
             lkey = jax.random.fold_in(key, depth)
             emission, aov, ch = _shade_level(
                 sa, static, prep, wvn, cfg, o, d, weight, alive, depth, lkey,
-                boxes=boxes, accel_block=accel_block,
-                accel_gather=engine.accel_gather, accel_impl=accel_impl)
+                boxes=boxes, engine=engine, accel_impl=accel_impl)
             contrib = jnp.where(alive[..., None], weight * emission, 0.0)
             if depth == 1:
                 aov0 = aov
@@ -369,7 +377,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
         if use_pallas and prep.pallas_pack is None:
             from ..ops.pallas_trace import pack_cluster_tris
             prep = prep.replace(pallas_pack=pack_cluster_tris(
-                prep, static.n_clusters, static.cluster_size,
+                prep, sa.tri_valid, static.n_clusters, static.cluster_size,
                 out_rows=sa.cl_lo.shape[0]))
         if cells.shape[0] == 1:
             color, depth, normal, obj_id = render_sample(
@@ -445,6 +453,14 @@ def render(sa, static, cfg: RaytracingConfig,
     cell_valid = jnp.ones((cells.shape[0],), bool)
     key = jax.random.PRNGKey(engine.seed)
     prep, wvn = _prepare(sa)
+    if engine.use_pallas(static):
+        # hoisted per frame: the (C, 16, K) slab pack only depends on the
+        # frame's triangle constants, not on the chunk
+        from ..ops.pallas_trace import pack_cluster_tris
+        pack = jax.jit(pack_cluster_tris, static_argnums=(2, 3, 4))(
+            prep, sa.tri_valid, static.n_clusters, static.cluster_size,
+            int(sa.cl_lo.shape[0]))
+        prep = prep.replace(pallas_pack=pack)
 
     color = np.zeros((n_pix, 3), np.float32)
     depth = np.zeros((n_pix,), np.float32)
