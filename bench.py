@@ -1,16 +1,24 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Workload: sponza-class procedural scene (BASELINE.md parity config —
-1280x720, monte_carlo, multi-bounce, textures, soft shadows) on the current
-default JAX backend (TPU when available).
+Workload: a sponza-class GLB (≈250k triangles, 37 textured PBR meshes,
+3 lights, monte-carlo materials) generated once into data/bench/ and loaded
+end-to-end through the real JSON→GLTF loader stack — the same path the
+reference uses for sponza (/root/reference/scene/sponza.json,
+src/scene.rs:722-1124) — then rendered at 1280×720 with the wavefront
+renderer on the current default JAX backend (TPU when available).
 
-Metric: primary-ray throughput in Mrays/s (W*H*samples / wall-clock of the
-steady-state frame, first frame discarded for compile).  ``vs_baseline`` is
-the ratio against the 100 Mrays/s/chip north star from BASELINE.json.
+Metric: primary-ray throughput in Mrays/s (W·H·samples / wall-clock of the
+steady-state frame; the first frame is discarded for compile).  The frame
+additionally traces ~3 shadow rays per hit per level and the reflection/
+refraction tree, so device-ray throughput is a multiple of this number.
+``vs_baseline`` is the ratio against the 100 Mrays/s/chip north star from
+BASELINE.json.
 
 Flags (env):
-  BENCH_WIDTH/BENCH_HEIGHT/BENCH_SAMPLES/BENCH_GRID — workload overrides
+  BENCH_WIDTH/BENCH_HEIGHT/BENCH_SAMPLES/BENCH_GRID/BENCH_LAT/BENCH_LON
+  BENCH_IMPL=auto|dense|xla|pallas — trace implementation (default auto)
   BENCH_SMALL=1 — tiny smoke configuration (CI / CPU)
+  BENCH_BREAKDOWN=1 — print per-source device-time breakdown to stderr
 """
 import json
 import os
@@ -22,24 +30,47 @@ def main():
     import jax
     import numpy as np
     from rustray_tpu.config import EngineConfig
-    from rustray_tpu.models.procedural import bench_scene
+    from rustray_tpu.models.procedural import ensure_bench_assets
     from rustray_tpu.render.wavefront import render
+    from rustray_tpu.scene.scene import Scene
 
     small = os.environ.get("BENCH_SMALL") == "1"
     width = int(os.environ.get("BENCH_WIDTH", 160 if small else 1280))
     height = int(os.environ.get("BENCH_HEIGHT", 90 if small else 720))
     samples = int(os.environ.get("BENCH_SAMPLES", 1 if small else 4))
-    grid = int(os.environ.get("BENCH_GRID", 2 if small else 4))
+    grid = int(os.environ.get("BENCH_GRID", 2 if small else 6))
+    lat = int(os.environ.get("BENCH_LAT", 12 if small else 52))
+    lon = int(os.environ.get("BENCH_LON", 18 if small else 68))
+    impl = os.environ.get("BENCH_IMPL", "auto")
 
-    scene = bench_scene(grid=grid, width=width, height=height,
-                        monte_carlo=not small, samples=samples)
-    scene.raytracing_config.max_recursion = 4
+    json_path = ensure_bench_assets(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "data", "bench"),
+        grid=grid, lat=lat, lon=lon, width=width, height=height,
+        samples=samples, monte_carlo=not small)
+    scene = Scene()
+    scene.load(json_path)
+    scene.cam.init(width, height)
+    scene.init()
+    scene.update()
     sa, static = scene.compile()
     cfg = scene.raytracing_config
+    cfg.samples = samples
+
     engine = EngineConfig(queue_factor=2.0,
                           chunk_pixels=32768 if not small else 16384)
+    if impl == "dense":
+        engine.accel = "off"
+        engine.pallas = "off"
+    elif impl == "xla":
+        engine.accel = "on"
+        engine.pallas = "off"
+    elif impl == "pallas":
+        engine.accel = "on"
+        engine.pallas = "on"
+        if jax.default_backend() not in ("tpu", "axon"):
+            engine.pallas_interpret = True
 
-    n_tris = static.n_tris
     backend = jax.default_backend()
 
     # warmup (compile)
@@ -47,6 +78,9 @@ def main():
     t0 = time.time()
     render(sa, static, cfg, engine)
     elapsed = time.time() - t0
+
+    if os.environ.get("BENCH_BREAKDOWN") == "1":
+        _breakdown(sa, static, cfg, engine)
 
     n_primary = width * height * samples
     mrays = n_primary / elapsed / 1e6
@@ -56,12 +90,50 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
         "detail": {
-            "backend": backend, "width": width, "height": height,
-            "samples": samples, "tris": int(n_tris),
+            "backend": backend, "impl": impl, "width": width,
+            "height": height, "samples": samples, "tris": int(static.n_tris),
+            "clusters": int(static.n_clusters),
+            "scene": "gltf-loaded sponza-class (data/bench)",
             "seconds_per_frame": round(elapsed, 3),
         },
     }))
 
 
+def _breakdown(sa, static, cfg, engine):
+    """Per-source device-time breakdown of one chunk (stderr)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rustray_tpu.render.wavefront import (_prepare, make_chunk_renderer,
+                                              render)
+    from rustray_tpu.utils.mathutil import sample_pattern
+    from tools.devbench import device_time
+
+    W, H = static.width, static.height
+    chunk = min(engine.chunk_pixels, W * H)
+    prep, wvn = _prepare(sa)
+    if engine.use_pallas(static):
+        from rustray_tpu.ops.pallas_trace import pack_cluster_tris
+        prep = prep.replace(pallas_pack=pack_cluster_tris(
+            prep, sa.tri_valid, static.n_clusters, static.cluster_size,
+            int(sa.cl_lo.shape[0])))
+    n_levels = 1 + cfg.max_recursion
+    renderer = make_chunk_renderer(static, cfg, engine, n_levels)
+    cells = jnp.asarray(sample_pattern(cfg.samples, engine.seed)[:1])
+    idxs = np.arange(chunk)
+    px = jnp.asarray(idxs % W, jnp.int32)
+    py = jnp.asarray(idxs // W, jnp.int32)
+    args = (sa, prep, wvn, px, py, jnp.ones((chunk,), bool), cells,
+            jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool),
+            jax.random.PRNGKey(0))
+    ms, by_src = device_time(lambda *a: renderer(*a), *args, iters=3,
+                             by_source=True)
+    print(f"[breakdown] chunk={chunk}px 1 sample: {ms:.1f} ms device",
+          file=sys.stderr)
+    for src, v in list(by_src.items())[:14]:
+        print(f"[breakdown]   {v:8.2f} ms  {src}", file=sys.stderr)
+
+
 if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()

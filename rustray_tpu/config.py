@@ -71,8 +71,11 @@ class EngineConfig:
       chunk_pixels; samples are looped inside the chunk).
     - ``queue_factor``: per-bounce ray-queue capacity as a multiple of the
       chunk's primary-ray count.  The Whitted ray tree can branch 2× per
-      bounce; live rays beyond the cap are dropped lowest-weight-first.
-      Raise for exact small renders (tests use 64 = full tree).
+      bounce; live rays beyond the cap are dropped lowest-weight-first AND
+      counted — ``render()`` auto-doubles the factor and re-renders the
+      chunk when drops occur, so results match the reference's full tree
+      (src/raytracing.rs:938-975) on the default config; the sharded path
+      warns instead.
     - ``tri_tile``: triangles per inner intersection tile (static scan step).
     - ``seed``: base RNG seed for deterministic, replayable Monte-Carlo.
     - ``accel``: "auto" | "on" | "off" — cluster-BVH traversal

@@ -97,6 +97,97 @@ def demo_spheres_scene(width: int = 64, height: int = 48) -> Scene:
     return scene
 
 
+def uv_sphere_arrays(radius: float = 1.0, lat: int = 16, lon: int = 24):
+    """Raw (verts, normals, uvs, tris) arrays of a UV sphere."""
+    phis = np.linspace(0, np.pi, lat + 1)
+    thetas = np.linspace(0, 2 * np.pi, lon + 1)
+    pp, tt = np.meshgrid(phis, thetas, indexing="ij")
+    normals = np.stack([np.sin(pp) * np.cos(tt), np.cos(pp),
+                        np.sin(pp) * np.sin(tt)], axis=-1).reshape(-1, 3)
+    verts = (normals * radius).astype(np.float32)
+    uvs = np.stack([tt / (2 * np.pi), pp / np.pi], -1).reshape(-1, 2)
+    tris = []
+    w = lon + 1
+    for i in range(lat):
+        base = i * w + np.arange(lon)
+        a, b_, c, d = base, base + 1, base + w, base + w + 1
+        if i > 0:
+            tris.append(np.stack([a, c, b_], 1))
+        if i < lat - 1:
+            tris.append(np.stack([b_, c, d], 1))
+    tris = np.concatenate(tris).astype(np.int32)
+    return verts, normals.astype(np.float32), uvs.astype(np.float32), tris
+
+
+def ensure_bench_assets(out_dir: str, grid: int = 6, lat: int = 52,
+                        lon: int = 68, width: int = 1280, height: int = 720,
+                        samples: int = 4, monte_carlo: bool = True) -> str:
+    """Write (once) a sponza-class GLB (grid² dense UV-sphere meshes +
+    floor, ≥200k triangles, textured PBR materials, KHR lights + camera)
+    plus a scene JSON that references it — the same JSON→GLTF load path the
+    reference uses for sponza (src/scene.rs:722-1124,
+    /root/reference/scene/sponza.json).  Returns the JSON path."""
+    import json as _json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    glb_path = os.path.join(out_dir, f"sponza_class_g{grid}_{lat}x{lon}.glb")
+    json_path = os.path.join(out_dir, f"sponza_class_g{grid}_{lat}x{lon}.json")
+    if not os.path.exists(glb_path):
+        from ..scene.gltf_writer import write_glb
+        rng = np.random.default_rng(7)
+        tex = checkerboard_texture(128, 16)
+        verts, normals, uvs, tris = uv_sphere_arrays(1.0, lat, lon)
+        meshes = []
+        for gx in range(grid):
+            for gz in range(grid):
+                meshes.append(dict(
+                    name=f"ball{gx}_{gz}", positions=verts, indices=tris,
+                    normals=normals, uvs=uvs,
+                    translation=(2.6 * (gx - (grid - 1) / 2), 0.0,
+                                 -6.0 - 2.6 * gz),
+                    material=dict(
+                        name=f"m{gx}_{gz}",
+                        base_color=tuple(rng.uniform(0.3, 1.0, 3)) + (1.0,),
+                        # loader maps reflectivity = metallic*0.5,
+                        # roughness = rough_factor/(2π)  (src/scene.rs:909-915)
+                        metallic=float(rng.uniform(0.0, 0.8)),
+                        roughness=float(rng.uniform(0.0, 0.5)),
+                        base_color_texture=tex)))
+        fv = np.array([[-40, -1.2, 10], [40, -1.2, 10], [40, -1.2, -60],
+                       [-40, -1.2, -60]], np.float32)
+        meshes.append(dict(
+            name="floor", positions=fv,
+            indices=np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+            normals=np.tile(np.array([[0, 1, 0]], np.float32), (4, 1)),
+            uvs=np.array([[0, 0], [8, 0], [8, 8], [0, 8]], np.float32),
+            material=dict(name="floor", base_color=(0.7, 0.7, 0.7, 1.0),
+                          metallic=0.6, roughness=0.0,
+                          base_color_texture=tex)))
+        # loader divides point intensity by 10 (src/scene.rs:747)
+        lights = [
+            dict(type="point", position=(-6.0, 12.0, 0.0), color=(1, 1, 1),
+                 intensity=5000.0, name="key"),
+            dict(type="point", position=(8.0, 6.0, -4.0),
+                 color=(1.0, 0.9, 0.8), intensity=2000.0, name="fill"),
+            dict(type="directional", direction=(0.5, -1.0, -0.3),
+                 color=(1, 1, 1), intensity=0.5, name="sun"),
+        ]
+        camera = dict(eye=(0.0, 3.0, 4.0), dir=(0.0, -0.25, -1.0),
+                      up=(0, 1, 0), yfov=np.pi / 2, znear=0.001, zfar=1000.0)
+        write_glb(glb_path, meshes, lights, camera)
+    spec = {
+        "name": "SponzaClass",
+        "config": {"monte_carlo": monte_carlo, "samples": samples,
+                   "max_recursion": 4},
+        "objects": [{"name": "sponza_class", "type": "gltf",
+                     "path": glb_path}],
+    }
+    with open(json_path, "w") as f:
+        _json.dump(spec, f, indent=1)
+    return json_path
+
+
 def bench_scene(grid: int = 4, lat: int = 12, lon: int = 18,
                 width: int = 1280, height: int = 720,
                 monte_carlo: bool = True, samples: int = 4) -> Scene:

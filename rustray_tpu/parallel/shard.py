@@ -100,8 +100,8 @@ def make_sharded_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
     def body(sa, px, py, valid, cells, cell_idx, cell_valid, key):
         prep = prepare_triangles(sa)
         wvn = prepare_vertex_normals(sa)
-        c, d, n, oid = chunk_fn(sa, prep, wvn, px, py, valid,
-                                cells, cell_idx, cell_valid, key)
+        c, d, n, oid, dropped = chunk_fn(sa, prep, wvn, px, py, valid,
+                                         cells, cell_idx, cell_valid, key)
         c = jax.lax.psum(c, "samples")
         d = jax.lax.psum(d, "samples")
         n = jax.lax.psum(n, "samples")
@@ -109,13 +109,14 @@ def make_sharded_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
         # last valid sample cell contributes
         owns_last = jnp.any(cell_idx == last_sample)
         oid = jax.lax.psum(jnp.where(owns_last, oid, 0), "samples")
-        return c, d, n, oid
+        dropped = jax.lax.psum(dropped, ("rays", "samples"))
+        return c, d, n, oid, dropped
 
     f = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P("rays"), P("rays"), P("rays"),
                   P("samples", None), P("samples"), P("samples"), P()),
-        out_specs=(P("rays"), P("rays"), P("rays"), P("rays")),
+        out_specs=(P("rays"), P("rays"), P("rays"), P("rays"), P()),
         check_rep=False)
     return jax.jit(f)
 
@@ -134,9 +135,14 @@ def render_sharded(sa, static, cfg: RaytracingConfig,
     key = jax.random.PRNGKey(engine.seed)
 
     f = make_sharded_renderer(static, cfg, engine, mesh, n_levels)
-    c, d, n, oid = f(sa, jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid),
-                     jnp.asarray(cells), jnp.asarray(cell_idx),
-                     jnp.asarray(cell_valid), key)
+    c, d, n, oid, dropped = f(sa, jnp.asarray(px), jnp.asarray(py),
+                              jnp.asarray(valid), jnp.asarray(cells),
+                              jnp.asarray(cell_idx), jnp.asarray(cell_valid),
+                              key)
+    if int(dropped):
+        print(f"warning: dropped {int(dropped)} live secondary rays "
+              f"(queue_factor={engine.queue_factor}); raise "
+              f"EngineConfig.queue_factor for the exact Whitted tree")
 
     W, H = static.width, static.height
     inv_s = 1.0 / cfg.samples
@@ -198,8 +204,8 @@ def make_sharded_value_and_grad(sa_template, static, cfg: RaytracingConfig,
             sa2 = apply_diff_params(sa, p)
             prep = prepare_triangles(sa2)
             wvn = prepare_vertex_normals(sa2)
-            c, _, _, _ = chunk_fn(sa2, prep, wvn, px, py, valid,
-                                  cells, cell_idx, cell_valid, key)
+            c, _, _, _, _ = chunk_fn(sa2, prep, wvn, px, py, valid,
+                                     cells, cell_idx, cell_valid, key)
             c = jax.lax.psum(c, "samples") * inv_s
             err = (c - target) ** 2
             # normalized here so loss AND grads share the same scale

@@ -22,6 +22,7 @@ primary level, with the alpha≈0 transmission id override chain
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict
 
@@ -317,6 +318,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
 
         weight = jnp.ones((n, 3), jnp.float32)
         alive = valid
+        dropped = jnp.int32(0)
 
         aov0 = None
         levels = []  # per level: contrib, own_id, override, perm (into prev 2N)
@@ -343,11 +345,18 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
             alive_c = jnp.concatenate([alive & ch["spawn_refl"],
                                        alive & ch["spawn_refr"]])
             if alive_c.shape[0] > cap:
-                # alive-first stable compaction; the permutation is recorded
-                # so contributions can be folded back to parents
-                perm = jnp.argsort(~alive_c)[:cap]
+                # alive-first, heaviest-weight-first compaction; children
+                # beyond the cap are dropped lowest-weight-first and COUNTED
+                # (the reference always evaluates the full Whitted tree,
+                # src/raytracing.rs:938-975 — render() auto-raises the cap
+                # and re-renders the chunk whenever drops occur, so the
+                # default config stays exact)
+                wmax = jnp.max(weight, axis=-1)
+                sort_key = jnp.where(alive_c, -wmax, 1.0)
+                perm = jnp.argsort(sort_key)[:cap]
                 o, d, weight = o[perm], d[perm], weight[perm]
                 alive = alive_c[perm]
+                dropped = dropped + (jnp.sum(alive_c) - jnp.sum(alive))
                 levels[-1]["child_perm"] = perm
             else:
                 alive = alive_c
@@ -371,7 +380,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
             refr_resolved = id_expanded[n_parent:]
             id_acc = jnp.where(parent["override"], refr_resolved, parent["own_id"])
 
-        return acc, aov0["depth"], aov0["normal"], id_acc
+        return acc, aov0["depth"], aov0["normal"], id_acc, dropped
 
     def chunk_fn(sa, prep, wvn, px, py, valid, cells, cell_idx, cell_valid, key):
         if use_pallas and prep.pallas_pack is None:
@@ -380,29 +389,31 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
                 prep, sa.tri_valid, static.n_clusters, static.cluster_size,
                 out_rows=sa.cl_lo.shape[0]))
         if cells.shape[0] == 1:
-            color, depth, normal, obj_id = render_sample(
+            color, depth, normal, obj_id, dropped = render_sample(
                 sa, prep, wvn, px, py, valid, cells[0],
                 jax.random.fold_in(key, cell_idx[0]))
             m = cell_valid[0]
             return (jnp.where(m, color, 0.0), jnp.where(m, depth, 0.0),
-                    jnp.where(m, normal, 0.0), jnp.where(m, obj_id, 0))
+                    jnp.where(m, normal, 0.0), jnp.where(m, obj_id, 0),
+                    jnp.where(m, dropped, 0))
 
         def body(carry, inp):
-            c_sum, d_sum, n_sum, oid_prev = carry
+            c_sum, d_sum, n_sum, oid_prev, drop_sum = carry
             cell, idx, cv = inp
-            color, depth, normal, obj_id = render_sample(
+            color, depth, normal, obj_id, dropped = render_sample(
                 sa, prep, wvn, px, py, valid, cell, jax.random.fold_in(key, idx))
             return (c_sum + jnp.where(cv, color, 0.0),
                     d_sum + jnp.where(cv, depth, 0.0),
                     n_sum + jnp.where(cv, normal, 0.0),
-                    jnp.where(cv, obj_id, oid_prev)), None
+                    jnp.where(cv, obj_id, oid_prev),
+                    drop_sum + jnp.where(cv, dropped, 0)), None
 
         n = px.shape[0]
         init = (jnp.zeros((n, 3)), jnp.zeros((n,)), jnp.zeros((n, 3)),
-                jnp.zeros((n,), jnp.int32))
-        (c_sum, d_sum, n_sum, obj_id), _ = jax.lax.scan(
+                jnp.zeros((n,), jnp.int32), jnp.int32(0))
+        (c_sum, d_sum, n_sum, obj_id, dropped), _ = jax.lax.scan(
             body, init, (cells, cell_idx, cell_valid))
-        return c_sum, d_sum, n_sum, obj_id
+        return c_sum, d_sum, n_sum, obj_id, dropped
 
     return chunk_fn
 
@@ -467,15 +478,37 @@ def render(sa, static, cfg: RaytracingConfig,
     normal = np.zeros((n_pix, 3), np.float32)
     obj_id = np.zeros((n_pix,), np.int32)
 
+    # max useful queue factor: the full Whitted tree doubles per bounce
+    max_qf = float(min(2 ** max(n_levels - 1, 0), 64))
+
     for start in range(0, n_pix, chunk):
         idx = np.arange(start, start + chunk)
         valid = idx < n_pix
         idx_c = np.minimum(idx, n_pix - 1)
         px = jnp.asarray(idx_c % W, jnp.int32)
         py = jnp.asarray(idx_c // W, jnp.int32)
-        c, dpt, nrm, oid = renderer(sa, prep, wvn, px, py,
-                                    jnp.asarray(valid), cells, cell_idx,
-                                    cell_valid, jax.random.fold_in(key, start))
+        eng, rend = engine, renderer
+        while True:
+            c, dpt, nrm, oid, dropped = rend(
+                sa, prep, wvn, px, py, jnp.asarray(valid), cells, cell_idx,
+                cell_valid, jax.random.fold_in(key, start))
+            n_drop = int(dropped)
+            if n_drop == 0 or eng.queue_factor >= max_qf:
+                if n_drop:
+                    print(f"warning: dropped {n_drop} live secondary rays "
+                          f"at queue_factor={eng.queue_factor} (cap "
+                          f"{max_qf}); image may deviate from the full "
+                          f"Whitted tree")
+                break
+            # live children were dropped: the reference always evaluates
+            # the full tree (src/raytracing.rs:938-975) — double the queue
+            # and re-render this chunk
+            new_qf = min(eng.queue_factor * 2.0, max_qf)
+            print(f"info: {n_drop} live secondary rays beyond "
+                  f"queue_factor={eng.queue_factor}; re-rendering chunk "
+                  f"with queue_factor={new_qf}")
+            eng = dataclasses.replace(eng, queue_factor=new_qf)
+            rend = make_chunk_renderer(static, cfg, eng, n_levels)
         sel = valid
         color[idx[sel]] = np.asarray(c)[sel]
         depth[idx[sel]] = np.asarray(dpt)[sel]

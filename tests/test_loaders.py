@@ -178,3 +178,64 @@ def test_config_and_animation_sections(reference_scenes):
     assert scene.animation.keyframes[1].time == 6000
     # 25 fps * 6 s = 150 frames
     assert scene.animation.get_frames_amount_to_render() == 150
+
+
+def test_glb_writer_roundtrip(tmp_path):
+    """gltf_writer GLB → gltf_loader: geometry, PBR→Phong mapping, lights,
+    camera all survive the round trip."""
+    import numpy as np
+    from rustray_tpu.scene.gltf_writer import write_glb
+    from rustray_tpu.scene.scene import Scene
+
+    tex = np.zeros((8, 8, 4), np.uint8)
+    tex[..., 0] = 200
+    tex[..., 3] = 255
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    uvs = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    nrm = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    path = str(tmp_path / "rt.glb")
+    write_glb(
+        path,
+        [dict(name="quad", positions=verts, indices=tris, normals=nrm,
+              uvs=uvs, translation=(1.0, 2.0, 3.0),
+              material=dict(name="m0", base_color=(0.5, 0.25, 1.0, 1.0),
+                            metallic=0.6, roughness=0.4,
+                            base_color_texture=tex))],
+        lights=[dict(type="point", position=(1, 2, 3), color=(1, 1, 0),
+                     intensity=100.0, name="pl"),
+                dict(type="directional", direction=(0, -1, 0),
+                     color=(1, 1, 1), intensity=2.0, name="sun")],
+        camera=dict(eye=(0, 0, 5), dir=(0, 0, -1), up=(0, 1, 0),
+                    yfov=1.2, znear=0.01, zfar=500.0))
+
+    scene = Scene()
+    ids = scene.load(path)
+    assert ids
+    meshes = [it for it in scene.items if hasattr(it, "indices")]
+    assert len(meshes) == 1
+    m = meshes[0]
+    # loader emits a triangle soup (vertices duplicated per triangle) with
+    # node transforms baked in
+    assert m.indices.shape[0] == 2
+    assert np.allclose(sorted(m.vertices[:, 2].tolist()), [3.0] * 6)
+    mat = m.get_material()
+    # PBR→Phong constants (src/scene.rs:909-915)
+    assert np.allclose(mat.base_color, [0.5, 0.25, 1.0], atol=1e-5)
+    assert np.allclose(mat.specular_color, np.array([0.5, 0.25, 1.0]) * 0.8,
+                       atol=1e-5)
+    assert abs(mat.reflectivity - 0.6 * 0.5) < 1e-5
+    assert abs(mat.roughness - 0.4 / (2 * np.pi)) < 1e-5
+    from rustray_tpu.scene.material import TextureType
+    base_tex = mat.get_texture(TextureType.Base)
+    assert base_tex is not None and base_tex[..., 0].max() == 200
+    # lights: point intensity / 10 (src/scene.rs:747)
+    kinds = {(l.name): l for l in scene.lights}
+    assert abs(kinds["pl"].intensity - 10.0) < 1e-5
+    assert np.allclose(kinds["pl"].pos, [1, 2, 3])
+    assert abs(kinds["sun"].intensity - 2.0) < 1e-5
+    assert np.allclose(kinds["sun"].dir, [0, -1, 0], atol=1e-5)
+    # camera
+    assert np.allclose(scene.cam.eye_pos, [0, 0, 5], atol=1e-5)
+    assert np.allclose(scene.cam.dir, [0, 0, -1], atol=1e-5)
+    assert abs(scene.cam.fov - 1.2) < 1e-5
