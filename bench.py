@@ -113,7 +113,7 @@ def _breakdown(sa, static, cfg, engine):
     chunk = min(engine.chunk_pixels, W * H)
     prep, wvn = _prepare(sa)
     if engine.use_pallas(static):
-        from rustray_tpu.ops.pallas_trace import pack_cluster_tris
+        from rustray_tpu.ops.block_trace import pack_cluster_tris
         prep = prep.replace(pallas_pack=pack_cluster_tris(
             prep, sa.tri_valid, static.n_clusters, static.cluster_size,
             int(sa.cl_lo.shape[0])))

@@ -93,17 +93,13 @@ class EngineConfig:
     accel_block: int = 1024
     accel_gather: int = 32
     accel_min_tris: int = 2048
-    # Pallas TPU work-list trace kernel (ops/pallas_trace): "auto" uses it
+    # Pallas TPU per-block trace kernel (ops/block_trace): "auto" uses it
     # whenever the cluster path is active AND the backend is a real TPU;
-    # "on"/"off" force.  ``pallas_percap`` caps cluster visits per ray
-    # block, ``pallas_avg`` sets the global work-list budget (blocks ×
-    # avg); overruns fall back to the exact XLA walk via lax.cond, so these
-    # are performance knobs, never correctness knobs.  ``pallas_interpret``
-    # runs the kernel in the Pallas interpreter (CPU tests).
+    # "on"/"off" force.  ``pallas_block`` is the rays-per-block coherence
+    # granularity; ``pallas_interpret`` runs the kernel in the Pallas
+    # interpreter (CPU tests).
     pallas: str = "auto"
     pallas_block: int = 512
-    pallas_percap: int = 64
-    pallas_avg: int = 24
     pallas_interpret: bool = False
 
     def use_accel(self, static) -> bool:
@@ -116,9 +112,15 @@ class EngineConfig:
     def use_pallas(self, static) -> bool:
         if self.pallas == "off" or static.n_clusters == 0:
             return False
-        if self.pallas == "on":   # forced (set pallas_interpret off-TPU)
-            return True
         import jax
-        if jax.default_backend() not in ("tpu", "axon"):
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if self.pallas == "on":
+            if not on_tpu and not self.pallas_interpret:
+                raise ValueError(
+                    "pallas='on' requires a TPU backend; set "
+                    "pallas_interpret=True to run the kernel in the "
+                    "interpreter on CPU/GPU")
+            return True
+        if not on_tpu:
             return False
         return self.use_accel(static)

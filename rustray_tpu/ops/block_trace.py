@@ -1,0 +1,385 @@
+"""Per-ray-block Pallas TPU traversal — the production closest/any-hit kernel.
+
+This is the TPU-native replacement for the reference's per-ray BVH walk
+(``Raytracing::trace``, /root/reference/src/raytracing.rs:429-490, over the
+scene BVH /root/reference/src/scene.rs:1715-1722 and parry3d's per-mesh BVH,
+/root/reference/src/shape/mesh.rs:67).  Design:
+
+1.  Rays are pre-sorted by a coherence key (:func:`coherence_key` — direction
+    octant + origin Morton code) so each ``block_n``-ray block is spatially
+    and directionally tight; dead rays sort last, so dead blocks visit
+    nothing.
+2.  An XLA prologue (:func:`_block_lists`) slab-tests every block's interval
+    bounds against all cluster AABBs (conservative — safe for culling),
+    prunes by the block's max ``t_max`` (shadow rays stop at the light), and
+    emits a complete front-to-back (cluster id, entry distance) list per
+    block.  Completeness means the kernel never truncates and there is no
+    fallback path to double-pay (the round-2 design lost 20x to exactly
+    that).
+3.  The kernel runs one grid step per ray block (rays stay resident in
+    VMEM).  It DMAs the block's list into SMEM, then walks it front-to-back
+    with double-buffered HBM->VMEM DMAs of each cluster's contiguous
+    ``(16, K)`` triangle-constant slab, intersecting the whole block against
+    the slab in one fused VPU pass (Baldwin-Weber constants, identical
+    operation order to ops/intersect.intersect_tri_tile).  The walk early-
+    exits once every live ray is resolved: a visit runs only while the next
+    cluster's entry distance can still beat some ray's ``min(best_t,
+    t_max)`` — the vector analogue of the reference's sorted-candidate
+    early-exit (src/raytracing.rs:466-489).
+4.  ``mode="any"`` freezes a lane at its first confirmed hit and stops the
+    block once every live lane is occluded — the reference's
+    ``stop_on_first_hit`` shadow semantics (src/raytracing.rs:483-487).
+
+Selection only: inputs are stop_gradient'ed and only integer winners (plus
+the found mask) leave; callers recompute the winner's ray parameter
+differentiably (ops/cluster_trace.recompute_t), so gradients flow through
+exactly one triangle per ray.
+
+Tie semantics: within a slab the lowest triangle index wins (same as the
+dense path); across clusters the nearer-entry cluster wins exact-t ties —
+measure-zero difference from the dense path's pool order, documented.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import INF, TrianglePrep
+
+_BIG = jnp.float32(3.0e37)
+_INF_PY = 3.0e38
+# sentinel origin for dead/padding rays: far outside any scene — keeps them
+# out of the prologue's block bounds; their t_max of -1 vetoes any hit
+DEAD_ORIGIN = 2.0e37
+
+
+# --------------------------------------------------------------------------
+# Triangle-constant packing (cluster-major slabs, DMA unit of the kernel)
+# --------------------------------------------------------------------------
+
+def pack_cluster_tris(prep: TrianglePrep, tri_valid, n_clusters: int,
+                      cluster_size: int, out_rows: int = None):
+    """Pack per-triangle Baldwin-Weber constants into (C, 16, K) slabs.
+
+    Component rows: 0..2 plane normal n, 3 a.n, 4..6 g1, 7 c1, 8..10 g2,
+    11 c2, 12..15 zero padding (keeps the sublane dim a multiple of 8).
+
+    ``tri_valid`` (pool,) folds the cluster-padding mask into the pack by
+    zeroing the normal rows of invalid slots (d.n = 0 => guaranteed miss),
+    so the kernel needs no separate validity operand.  Per-*instance*
+    dynamic masks are uniform across a cluster (clusters never span
+    instances) and are handled by ``cl_ok`` in the prologue.
+
+    ``out_rows`` pads the cluster axis (the SceneArrays cluster tables are
+    padded past ``n_clusters``; padded ids are never visited but must be
+    addressable by the kernel's DMA).
+    """
+    n_clusters = min(n_clusters, prep.an.shape[0] // cluster_size)
+    pool = n_clusters * cluster_size
+    ok = tri_valid[:pool].astype(jnp.float32)
+    comps = jnp.stack([
+        prep.n[:pool, 0] * ok, prep.n[:pool, 1] * ok, prep.n[:pool, 2] * ok,
+        prep.an[:pool],
+        prep.g1[:pool, 0], prep.g1[:pool, 1], prep.g1[:pool, 2], prep.c1[:pool],
+        prep.g2[:pool, 0], prep.g2[:pool, 1], prep.g2[:pool, 2], prep.c2[:pool],
+    ], axis=1)                                            # (pool, 12)
+    comps = jnp.pad(comps, ((0, 0), (0, 4)))              # (pool, 16)
+    comps = comps.reshape(n_clusters, cluster_size, 16)
+    pack = jnp.transpose(comps, (0, 2, 1))                # (C, 16, K)
+    if out_rows is not None and out_rows > n_clusters:
+        pack = jnp.pad(pack, ((0, out_rows - n_clusters), (0, 0), (0, 0)))
+    return pack
+
+
+# --------------------------------------------------------------------------
+# Ray coherence sorting
+# --------------------------------------------------------------------------
+
+def _spread3(x):
+    """Spread the low 10 bits of ``x`` so bit i lands at position 3i."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def coherence_key(o, d, alive, lo, hi):
+    """Sort key restoring block coherence for incoherent wavefronts.
+
+    Bits [23:21] direction octant, [20:0] 7-bit-per-axis Morton code of the
+    origin within the scene bounds.  Blocks of octant-pure rays have
+    single-sign direction intervals on every axis, which is exactly what the
+    prologue's interval arithmetic needs to produce tight entry bounds —
+    unsorted secondary/shadow wavefronts were the round-2 catastrophe.
+    Dead rays get INT32_MAX and sort last (their blocks visit nothing, so
+    sorting subsumes wavefront compaction).
+    """
+    ext = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((o - lo) / ext * 128.0, 0.0, 127.0).astype(jnp.int32)
+    m = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+         | (_spread3(q[:, 2]) << 2))
+    octant = ((d[:, 0] >= 0).astype(jnp.int32) * 4
+              + (d[:, 1] >= 0).astype(jnp.int32) * 2
+              + (d[:, 2] >= 0).astype(jnp.int32))
+    key = (octant << 21) | m
+    return jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
+
+
+# --------------------------------------------------------------------------
+# Prologue: per-block front-to-back cluster lists
+# --------------------------------------------------------------------------
+
+def _block_lists(o, d, alive, tmax, w_lo, w_hi, cl_ok, nb, block, cpad):
+    """Complete conservative front-to-back cluster list per ray block.
+
+    Interval arithmetic over the block's (alive-masked) origin/direction
+    bounding boxes lower-bounds any live ray's slab entry distance — safe
+    for both ordering and pruning.  Axes whose direction interval spans
+    zero contribute (-inf, +inf) and are skipped (octant-sorted blocks have
+    none).  Returns (order (NB, 1, cpad) int32, entry (NB, 1, cpad) f32
+    sorted ascending, count (NB,) int32).
+    """
+    o_b = o.reshape(nb, block, 3)
+    d_b = d.reshape(nb, block, 3)
+    a_b = alive.reshape(nb, block, 1)
+    olo = jnp.where(a_b, o_b, _BIG).min(axis=1)           # (NB, 3)
+    ohi = jnp.where(a_b, o_b, -_BIG).max(axis=1)
+    dlo = jnp.where(a_b, d_b, _BIG).min(axis=1)
+    dhi = jnp.where(a_b, d_b, -_BIG).max(axis=1)
+    any_alive = jnp.any(a_b[..., 0], axis=1)              # (NB,)
+    block_tmax = jnp.max(jnp.where(a_b[..., 0], tmax.reshape(nb, block),
+                                   -_BIG), axis=1)        # (NB,)
+    ax_ok = (dlo > 1e-12) | (dhi < -1e-12)                # single-sign axis
+    i1 = 1.0 / jnp.where(ax_ok, dlo, 1.0)
+    i2 = 1.0 / jnp.where(ax_ok, dhi, 1.0)
+    ilo, ihi = jnp.minimum(i1, i2), jnp.maximum(i1, i2)
+
+    def plane_t(s):  # s (C, 3) -> interval of (s - o)*inv, (NB, C, 3)
+        a = s[None] - ohi[:, None]
+        b = s[None] - olo[:, None]
+        c0, c1 = a * ilo[:, None], a * ihi[:, None]
+        c2, c3 = b * ilo[:, None], b * ihi[:, None]
+        lb = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
+        ub = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+        return lb, ub
+
+    lo_lb, lo_ub = plane_t(w_lo)
+    hi_lb, hi_ub = plane_t(w_hi)
+    near_lb = jnp.minimum(lo_lb, hi_lb)    # LB of per-ray near plane
+    far_ub = jnp.maximum(lo_ub, hi_ub)     # UB of per-ray far plane
+    near_lb = jnp.where(ax_ok[:, None], near_lb, -_BIG)
+    far_ub = jnp.where(ax_ok[:, None], far_ub, _BIG)
+    entry_lb = jnp.maximum(near_lb.max(axis=-1), 0.0)      # (NB, C)
+    exit_ub = far_ub.min(axis=-1)
+    possible = ((exit_ub >= entry_lb) & (entry_lb <= block_tmax[:, None])
+                & cl_ok[None] & any_alive[:, None])
+    C = w_lo.shape[0]
+    key = jnp.where(possible, entry_lb, jnp.float32(_INF_PY))
+    cid = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], key.shape)
+    entry_s, order = jax.lax.sort((key, cid), dimension=1, num_keys=1)
+    count = jnp.sum(possible, axis=1).astype(jnp.int32)
+    if cpad > C:
+        entry_s = jnp.pad(entry_s, ((0, 0), (0, cpad - C)),
+                          constant_values=_INF_PY)
+        order = jnp.pad(order, ((0, 0), (0, cpad - C)))
+    return (order.reshape(nb, 1, cpad), entry_s.reshape(nb, 1, cpad), count)
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+def _make_kernel(block_n: int, K: int, cpad: int, mode: str):
+    inf = _INF_PY  # python float: jnp module constants would be captured
+
+    def kernel(cnt_ref, rays_ref, order_hbm, entry_hbm, tris_hbm,
+               t_ref, idx_ref, idx_sm, ent_sm, need_sm, slab, sems, lsems):
+        b = pl.program_id(0)
+        n = cnt_ref[b]
+        ld_i = pltpu.make_async_copy(order_hbm.at[b], idx_sm, lsems.at[0])
+        ld_e = pltpu.make_async_copy(entry_hbm.at[b], ent_sm, lsems.at[1])
+        ld_i.start()
+        ld_e.start()
+        t_ref[0] = jnp.full((block_n, 1), inf, jnp.float32)
+        idx_ref[0] = jnp.zeros((block_n, 1), jnp.int32)
+        r = rays_ref[0]                          # (BN, 8)
+        ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
+        dx, dy, dz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
+        tmax = r[:, 6:7]
+        # before any visit every lane still wants up to its t_max
+        need_sm[0, 0] = jnp.max(tmax)
+        ld_i.wait()
+        ld_e.wait()
+
+        def slab_dma(slot, j):
+            cid = idx_sm[0, jnp.minimum(j, cpad - 1)]
+            return pltpu.make_async_copy(tris_hbm.at[cid], slab.at[slot],
+                                         sems.at[slot])
+
+        @pl.when(n > 0)
+        def _():
+            slab_dma(0, 0).start()
+
+        def body(j, jp):
+            # jp = visits processed so far; the walk is "done" once jp < j.
+            # A visit runs only while the front-to-back entry distance can
+            # still beat some lane's need; the first skipped visit drains
+            # the in-flight DMA started by its predecessor.
+            go = (j == jp) & (ent_sm[0, j] <= need_sm[0, 0])
+
+            @pl.when(go)
+            def _():
+                @pl.when(j + 1 < n)
+                def _():
+                    slab_dma((j + 1) % 2, j + 1).start()
+
+                slab_dma(j % 2, j).wait()
+                trs = slab[j % 2]                # (16, K)
+                n0, n1, n2, an = trs[0:1], trs[1:2], trs[2:3], trs[3:4]
+                g10, g11, g12 = trs[4:5], trs[5:6], trs[6:7]
+                c1 = trs[7:8]
+                g20, g21, g22 = trs[8:9], trs[9:10], trs[10:11]
+                c2 = trs[11:12]
+
+                d_n = dx * n0 + dy * n1 + dz * n2        # (BN, K)
+                o_n = ox * n0 + oy * n1 + oz * n2
+                denom_ok = jnp.abs(d_n) > jnp.float32(1e-30)
+                t = (an - o_n) / jnp.where(denom_ok, d_n, 1.0)
+                px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
+                u = px * g10 + py * g11 + pz * g12 + c1
+                v = px * g20 + py * g21 + pz * g22 + c2
+                hit = (denom_ok & (t >= 0.0) & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t <= tmax))
+                t_m = jnp.where(hit, t, inf)
+                tile_min = jnp.min(t_m, axis=1, keepdims=True)   # (BN, 1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (block_n, K), 1)
+                within = jnp.min(jnp.where(t_m == tile_min, lane, K),
+                                 axis=1, keepdims=True)
+                cid = idx_sm[0, jnp.minimum(j, cpad - 1)]
+                gidx = cid * K + within
+                cur = t_ref[0]
+                if mode == "any":
+                    # first confirmed hit freezes the lane (the reference's
+                    # stop_on_first_hit, src/raytracing.rs:483-487)
+                    better = (tile_min < inf) & (cur >= inf)
+                else:
+                    better = tile_min < cur
+                newt = jnp.where(better, tile_min, cur)
+                t_ref[0] = newt
+                idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
+                if mode == "any":
+                    need_sm[0, 0] = jnp.max(
+                        jnp.where(newt < inf, jnp.float32(-_INF_PY), tmax))
+                else:
+                    need_sm[0, 0] = jnp.max(jnp.minimum(newt, tmax))
+
+            @pl.when((j == jp) & jnp.logical_not(go))
+            def _():
+                slab_dma(j % 2, j).wait()
+
+            return jp + go.astype(jnp.int32)
+
+        jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(nb: int, block_n: int, C: int, K: int, cpad: int,
+                mode: str, interpret: bool = False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, block_n, 8), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # order (NB, 1, cpad)
+            pl.BlockSpec(memory_space=pl.ANY),   # entry (NB, 1, cpad)
+            pl.BlockSpec(memory_space=pl.ANY),   # tris  (C, 16, K)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_n, 1), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, block_n, 1), lambda b, c: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, cpad), jnp.int32),
+            pltpu.SMEM((1, cpad), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((2, 16, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_kernel(block_n, K, cpad, mode),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, block_n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, block_n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def trace_tris_blocks(o, d, alive, t_max, prep: TrianglePrep, w_lo, w_hi,
+                      cl_ok, cluster_size: int, block_n: int = 512,
+                      mode: str = "closest", interpret: bool = False):
+    """Closest (or any) mesh hit over the clustered pool.
+
+    o, d: (N, 3) world rays (d normalized, callers pre-sort by
+    :func:`coherence_key` for performance — never required for
+    correctness).  ``t_max`` (N,) caps accepted hits (shadow rays pass the
+    light distance); None means unbounded.  ``alive`` masks lanes whose
+    result is unused.  Returns (found (N,) bool, best_tri (N,) int32).
+    Selection-only; recompute t with ops/cluster_trace.recompute_t.
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    prep = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
+    w_lo = jax.lax.stop_gradient(w_lo)
+    w_hi = jax.lax.stop_gradient(w_hi)
+
+    K = cluster_size
+    C = w_lo.shape[0]
+    cpad = -(-C // 128) * 128
+    n = o.shape[0]
+    nb = -(-n // block_n)
+    pad = nb * block_n - n
+    if alive is None:
+        alive = jnp.ones((n,), bool)
+    if t_max is None:
+        t_max = jnp.full((n,), INF)
+    t_max = jax.lax.stop_gradient(t_max)
+    # dead lanes: t_max = -1 vetoes any hit (t >= 0 always); the sentinel
+    # origin keeps them out of the prologue's interval bounds
+    o = jnp.where(alive[:, None], o, DEAD_ORIGIN)
+    d = jnp.where(alive[:, None], d, 1.0)
+    t_max = jnp.where(alive, t_max, -1.0)
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), DEAD_ORIGIN, o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
+        alive = jnp.concatenate([alive, jnp.zeros((pad,), bool)])
+
+    order, entry, count = _block_lists(o, d, alive, t_max, w_lo, w_hi,
+                                       cl_ok, nb, block_n, cpad)
+
+    rays = jnp.concatenate([o, d, t_max[:, None]], axis=1)     # (Np, 7)
+    rays = jnp.pad(rays, ((0, 0), (0, 1))).reshape(nb, block_n, 8)
+    pack = prep.pallas_pack
+    if pack is None:
+        raise ValueError(
+            "trace_tris_blocks requires prep.pallas_pack — build it with "
+            "pack_cluster_tris (wavefront._prepare does this when the "
+            "pallas path is enabled)")
+
+    call = _build_call(nb, block_n, C, K, cpad, mode, interpret)
+    t_out, idx_out = call(count, rays, order, entry, pack)
+    t = t_out.reshape(-1)[:n]
+    idx = idx_out.reshape(-1)[:n]
+    return t < INF, idx

@@ -60,13 +60,14 @@ def _slab_test(o, d, w_lo, w_hi, cl_ok):
     return hit, tn, tf
 
 
-def _intersect_gathered(o, d, an, n0, n1, n2, g10, g11, g12, c1,
+def _intersect_gathered(o, d, tmax, an, n0, n1, n2, g10, g11, g12, c1,
                         g20, g21, g22, c2, ok):
     """Rays (B,3) × a gathered slab of G triangles (component arrays (G,)).
 
     Pure broadcast/elementwise math (no inner-dim-3 matmuls — those map to
     a 2%-utilized MXU; this fuses into one VPU pass with the min-reduce).
-    Returns (best_t (B,), best_arg (B,) int32 index into the G slab).
+    ``tmax`` (B,) caps accepted hits.  Returns (best_t (B,), best_arg (B,)
+    int32 index into the G slab).
     """
     ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
     dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
@@ -79,14 +80,15 @@ def _intersect_gathered(o, d, an, n0, n1, n2, g10, g11, g12, c1,
     v = (ox + t * dx) * g20[None] + (oy + t * dy) * g21[None] \
         + (oz + t * dz) * g22[None] + c2[None]
     hit = (denom_ok & (t >= 0.0) & (u >= 0.0) & (v >= 0.0)
-           & (u + v <= 1.0) & ok[None])
+           & (u + v <= 1.0) & ok[None] & (t <= tmax[:, None]))
     t = jnp.where(hit, t, INF)
     return jnp.min(t, axis=1), jnp.argmin(t, axis=1).astype(jnp.int32)
 
 
 def select_closest_clusters(o, d, prep: TrianglePrep, tri_ok,
                             w_lo, w_hi, cl_ok, cluster_size: int,
-                            block: int = 1024, gather: int = 32):
+                            block: int = 1024, gather: int = 32,
+                            t_max=None):
     """Closest-hit winner selection over the clustered triangle pool.
 
     o, d: (N, 3) world rays (d normalized).  Returns
@@ -111,11 +113,15 @@ def select_closest_clusters(o, d, prep: TrianglePrep, tri_ok,
     M = min(gather, C)
 
     n = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((n,), INF)
+    t_max = jax.lax.stop_gradient(t_max)
     nb = -(-n // block)
     pad = nb * block - n
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
 
     an = prep.an
     n0, n1, n2 = prep.n[:, 0], prep.n[:, 1], prep.n[:, 2]
@@ -124,8 +130,9 @@ def select_closest_clusters(o, d, prep: TrianglePrep, tri_ok,
     c1, c2 = prep.c1, prep.c2
     okf = tri_ok
 
-    def per_block(o_b, d_b):
+    def per_block(o_b, d_b, tmax_b):
         hit, tn, tf = _slab_test(o_b, d_b, w_lo, w_hi, cl_ok)
+        hit = hit & (tn <= tmax_b[:, None])
         any_hit = jnp.any(hit, axis=0)                    # (C,)
         enter = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0), INF), axis=0)
         key = jnp.where(any_hit, enter, INF)
@@ -134,7 +141,9 @@ def select_closest_clusters(o, d, prep: TrianglePrep, tri_ok,
         m = jnp.sum(any_hit)
         # farthest distance at which each ray can still be resolved: its
         # current best, capped by the last box exit it overlaps at all
+        # (and by its t_max — shadow rays stop at the light)
         ray_cap = jnp.max(jnp.where(hit, tf, -INF), axis=1)   # (B,)
+        ray_cap = jnp.minimum(ray_cap, tmax_b)
         n_rounds = -(-C // M)
 
         def round_fn(r, best_t, best_i):
@@ -145,7 +154,7 @@ def select_closest_clusters(o, d, prep: TrianglePrep, tri_ok,
                    + jnp.arange(K, dtype=jnp.int32)[None]).reshape(-1)
             ok_g = okf[idx] & jnp.repeat(live, K)
             t_r, a_r = _intersect_gathered(
-                o_b, d_b, an[idx], n0[idx], n1[idx], n2[idx],
+                o_b, d_b, tmax_b, an[idx], n0[idx], n1[idx], n2[idx],
                 g10[idx], g11[idx], g12[idx], c1[idx],
                 g20[idx], g21[idx], g22[idx], c2[idx], ok_g)
             better = t_r < best_t
@@ -173,7 +182,8 @@ def select_closest_clusters(o, d, prep: TrianglePrep, tri_ok,
 
     o_blk = o.reshape(nb, block, 3)
     d_blk = d.reshape(nb, block, 3)
-    best_t, best_i = jax.vmap(per_block)(o_blk, d_blk)
+    t_blk = t_max.reshape(nb, block)
+    best_t, best_i = jax.vmap(per_block)(o_blk, d_blk, t_blk)
     best_t = best_t.reshape(-1)[:n]
     best_i = best_i.reshape(-1)[:n]
     return best_t < INF, best_i

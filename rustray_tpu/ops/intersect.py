@@ -74,7 +74,7 @@ class TrianglePrep:
                           # (src/shape/mesh.rs:92; quirk: not inverse-transpose)
     backface_sign: jnp.ndarray  # (T,) det-sign of owner instance
     # optional (C, 16, K) cluster-slab packing of the constants above for the
-    # Pallas trace kernel (ops/pallas_trace.pack_cluster_tris); None when the
+    # Pallas trace kernel (ops/block_trace.pack_cluster_tris); None when the
     # kernel is unused.  Selection-only — consumers stop_gradient it.
     pallas_pack: object = None
 

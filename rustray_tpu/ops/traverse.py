@@ -1,4 +1,4 @@
-"""Closest-hit tracing over the compiled scene (linear-scan path).
+"""Closest-hit tracing over the compiled scene.
 
 Replaces the reference's per-ray two-phase search
 (``Raytracing::trace``, src/raytracing.rs:429-490): candidate filtering
@@ -7,10 +7,23 @@ depth>1 — src/raytracing.rs:454) followed by exact intersection, taking the
 minimum t.  The reference's bbox-sort is pure culling and cannot change the
 winner, so the vectorized version simply takes the global argmin.
 
-Deviations (documented):
-- shadow rays return the *nearest* hit; the reference returns the first hit
-  in bbox-distance order (src/raytracing.rs:483-487), which can differ only
-  when bounding boxes overlap (visually immaterial, deterministic here).
+Mesh traversal has three interchangeable implementations:
+- dense linear scan (ops/intersect.closest_tri) — small scenes, oracle;
+- XLA block-coherent cluster walk (ops/cluster_trace) — CPU/GPU backends;
+- Pallas per-block kernel (ops/block_trace) — the TPU production path.
+The accelerated paths consume rays *sorted by coherence key* (direction
+octant + origin Morton, ops/block_trace.coherence_key) so that secondary
+and shadow wavefronts keep block bounds tight; results are scattered back
+to the caller's order.
+
+Shadow semantics: shadow rays carry ``t_max`` = distance to the light
+(clusters and hits beyond it are culled — the reference compares the hit
+distance against the light distance, src/raytracing.rs:871-914) and the
+Pallas path stops at the first confirmed hit per lane, the reference's
+``stop_on_first_hit`` (src/raytracing.rs:483-487).  The dense/XLA paths
+return the nearest hit instead; the occluder identity can differ only when
+cluster boxes overlap, which affects only the alpha-texture attenuation of
+that occluder (visually immaterial, deterministic per path).
 """
 from __future__ import annotations
 
@@ -65,24 +78,60 @@ def _sphere_solid(sa, for_shadow: bool):
             & sa.materials.backface_culling[m])
 
 
+def _sorted_mesh_trace(sa, static, prep, o, d, alive, t_max, tri_ok, cl_ok,
+                       accel_boxes, accel_impl, accel_block, accel_gather,
+                       block_n, pallas_interpret, for_shadow):
+    """Coherence-sort rays, run the accelerated mesh trace, scatter back."""
+    from .block_trace import (DEAD_ORIGIN, coherence_key, trace_tris_blocks)
+    from .cluster_trace import select_closest_clusters
+
+    w_lo, w_hi = accel_boxes
+    n = o.shape[0]
+    lo = jax.lax.stop_gradient(
+        jnp.min(jnp.where(cl_ok[:, None], w_lo, jnp.float32(INF)), axis=0))
+    hi = jax.lax.stop_gradient(
+        jnp.max(jnp.where(cl_ok[:, None], w_hi, -jnp.float32(INF)), axis=0))
+    key = coherence_key(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+                        alive, lo, hi)
+    perm = jnp.argsort(key)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    o_s, d_s = o[perm], d[perm]
+    alive_s = alive[perm]
+    tmax_s = None if t_max is None else t_max[perm]
+
+    if accel_impl == "pallas":
+        found_s, tri_s = trace_tris_blocks(
+            o_s, d_s, alive_s, tmax_s, prep, w_lo, w_hi, cl_ok,
+            static.cluster_size, block_n=block_n,
+            mode="any" if for_shadow else "closest",
+            interpret=pallas_interpret)
+    else:
+        o_t = jnp.where(alive_s[:, None], o_s, DEAD_ORIGIN)
+        d_t = jnp.where(alive_s[:, None], d_s, 1.0)
+        found_s, tri_s = select_closest_clusters(
+            o_t, d_t, prep, tri_ok, w_lo, w_hi, cl_ok,
+            static.cluster_size, accel_block, accel_gather, t_max=tmax_s)
+    return found_s[inv], tri_s[inv]
+
+
 def trace_closest(sa, static, prep: TrianglePrep, o, d,
                   for_shadow: bool, allow_reflection_only: bool,
                   tri_tile: int = 1024, accel_boxes=None,
                   accel_block: int = 1024, accel_gather: int = 32,
-                  accel_impl: str = "xla", alive=None,
-                  pallas_block: int = 512, pallas_percap: int = 64,
-                  pallas_avg: int = 24, pallas_interpret: bool = False) -> Hit:
+                  accel_impl: str = "xla", alive=None, t_max=None,
+                  block_n: int = 512, pallas_interpret: bool = False) -> Hit:
     """o (N,3), d (N,3) normalized.  Static flags select compile-time paths.
 
     ``accel_boxes``: optional (w_lo, w_hi) world cluster AABBs from
     :func:`rustray_tpu.ops.cluster_trace.world_cluster_aabbs`; when given,
-    mesh intersection uses block-coherent cluster traversal instead of the
-    dense linear scan (same winners, bounded work).
+    mesh intersection uses coherence-sorted cluster traversal instead of
+    the dense linear scan (same winners, bounded work).
 
-    ``alive``: optional (N,) bool — rays whose result is unused.  Accel
-    paths replace dead rays with a far-away sentinel so they join no block
-    bounds and trigger no cluster visits (the results of dead lanes are
-    arbitrary and must be masked by the caller, which all callers do).
+    ``alive``: optional (N,) bool — rays whose result is unused (their
+    outputs are arbitrary and must be masked by the caller, which all
+    callers do).  ``t_max``: optional (N,) — hits beyond it are ignored
+    (shadow rays pass the light distance).
 
     Instance-level culling note (the reference's scene BVH,
     src/scene.rs:1681-1722): clusters never span instances, so the per-block
@@ -100,35 +149,18 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
     if static.has_mesh:
         tri_ok = sa.tri_valid & inst_ok[sa.tri_inst]
         if accel_boxes is not None:
-            from .cluster_trace import recompute_t, select_closest_clusters
-            from .pallas_trace import DEAD_ORIGIN
+            from .cluster_trace import recompute_t
             cl_ok = sa.cl_valid & inst_ok[sa.cl_inst]
-            if alive is not None:
-                o_t = jnp.where(alive[:, None], o, DEAD_ORIGIN)
-                d_t = jnp.where(alive[:, None], d, 1.0)
-            else:
-                o_t, d_t = o, d
-            if accel_impl == "pallas":
-                from .pallas_trace import trace_tris_pallas
-                found_p, tri_p, trunc = trace_tris_pallas(
-                    o_t, d_t, alive, prep, accel_boxes[0], accel_boxes[1],
-                    cl_ok, static.cluster_size, block_n=pallas_block,
-                    percap=pallas_percap, avg_visits=pallas_avg,
-                    interpret=pallas_interpret)
-                found, tri_idx = jax.lax.cond(
-                    trunc,
-                    lambda: select_closest_clusters(
-                        o_t, d_t, prep, tri_ok, accel_boxes[0],
-                        accel_boxes[1], cl_ok, static.cluster_size,
-                        accel_block, accel_gather),
-                    lambda: (found_p, tri_p))
-            else:
-                found, tri_idx = select_closest_clusters(
-                    o_t, d_t, prep, tri_ok, accel_boxes[0], accel_boxes[1],
-                    cl_ok, static.cluster_size, accel_block, accel_gather)
+            alive_f = alive if alive is not None else jnp.ones((n,), bool)
+            found, tri_idx = _sorted_mesh_trace(
+                sa, static, prep, o, d, alive_f, t_max, tri_ok, cl_ok,
+                accel_boxes, accel_impl, accel_block, accel_gather,
+                block_n, pallas_interpret, for_shadow)
             t_tri = recompute_t(o, d, prep, tri_idx, found)
         else:
             t_tri, tri_idx = closest_tri(o, d, prep, tri_ok, tri_tile)
+            if t_max is not None:
+                t_tri = jnp.where(t_tri <= t_max, t_tri, INF)
         better = t_tri < best_t
         best_t = jnp.where(better, t_tri, best_t)
         best_inst = jnp.where(better, sa.tri_inst[tri_idx], best_inst)
@@ -145,6 +177,8 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
         solid = _sphere_solid(sa, for_shadow)[None]  # (1, S)
         s_hit, s_t, _ = sphere_cast(lo, ld, radius, solid)
         s_ok = sa.sphere_valid[None] & inst_ok[s_inst][None] & s_hit
+        if t_max is not None:
+            s_ok = s_ok & (s_t <= t_max[:, None])
         s_t = jnp.where(s_ok, s_t, INF)
         s_min = jnp.min(s_t, axis=1)
         s_arg = jnp.argmin(s_t, axis=1).astype(jnp.int32)
@@ -254,7 +288,7 @@ def hit_attributes(sa, static, prep: TrianglePrep, wvn, o, d, hit: Hit) -> HitAt
 
 
 def prepare_vertex_normals(sa):
-    """World-space loaded vertex normals: model matrix × normal (reference
+    """World-space loaded vertex normals: model matrix x normal (reference
     transforms the interpolated normal by ``trans``; linearity lets us
     pre-transform per entry)."""
     m = sa.inst_trans[sa.vn_inst]

@@ -34,7 +34,7 @@ from ..config import EngineConfig, RaytracingConfig
 from ..ops import rays as rays_ops
 from ..ops import shade as shade_ops
 from ..ops import texture as tex_ops
-from ..ops.intersect import dot, prepare_triangles, safe_normalize
+from ..ops.intersect import INF, dot, prepare_triangles, safe_normalize
 from ..ops.cluster_trace import world_cluster_aabbs
 from ..ops.traverse import (hit_attributes, prepare_vertex_normals,
                             trace_closest)
@@ -75,9 +75,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     engine = engine or EngineConfig()
     trace_kw = dict(accel_boxes=boxes, accel_block=engine.accel_block,
                     accel_gather=engine.accel_gather, accel_impl=accel_impl,
-                    pallas_block=engine.pallas_block,
-                    pallas_percap=engine.pallas_percap,
-                    pallas_avg=engine.pallas_avg,
+                    block_n=engine.pallas_block,
                     pallas_interpret=engine.pallas_interpret)
     mats = sa.materials
     d = safe_normalize(d)
@@ -183,9 +181,14 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     sh_o = jnp.swapaxes(shadow_o, 0, 1).reshape(L * n_rays, 3)
     sh_d = safe_normalize(jnp.swapaxes(shadow_dir, 0, 1).reshape(L * n_rays, 3))
     sh_alive = (live[None, :] & sa.lights.enabled[:, None]).reshape(L * n_rays)
+    # shadow rays stop at the light: hits beyond ldist cannot shadow
+    # (src/raytracing.rs:871-914), so t_max prunes clusters past the light
+    sh_tmax = jnp.swapaxes(jnp.broadcast_to(
+        jnp.where(is_dir, jnp.float32(INF), ldist), (n_rays, L)),
+        0, 1).reshape(L * n_rays)
     sh_hit = trace_closest(sa, static, prep, sh_o, sh_d, for_shadow=True,
                            allow_reflection_only=allow_ro, alive=sh_alive,
-                           **trace_kw)
+                           t_max=sh_tmax, **trace_kw)
     sh_t = jnp.where(sh_hit.hit, sh_hit.t, 0.0).reshape(L, n_rays).T
     sh_found = sh_hit.hit.reshape(L, n_rays).T
     in_light = ~sh_found | (~is_dir & (sh_t > ldist))
@@ -193,9 +196,10 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     # occluder alpha-texture attenuation (src/raytracing.rs:894-913).
     # Deviation (documented): the occluder's own UV/alpha texture is sampled
     # at the shadow hit; the reference samples the occluder's texture at a UV
-    # computed with the *receiver's* get_uv, an apparent bug.
+    # computed with the *receiver's* get_uv, an apparent bug.  The fetch only
+    # matters when some material actually has an alpha texture.
     shadow_alpha = mats.alpha[mat][:, None]               # receiver material alpha
-    if static.has_any_texture:
+    if static.has_alpha_tex:
         occ_attrs = hit_attributes(sa, static, prep, wvn, sh_o, sh_d, sh_hit)
         occ_a, occ_has = _tex_scalar(sa, static, occ_attrs.mat, TextureType.Alpha,
                                      occ_attrs.uv)
@@ -276,8 +280,7 @@ def _config_key(static, cfg: RaytracingConfig, engine: EngineConfig, n_levels: i
             engine.chunk_pixels, engine.queue_factor, engine.tri_tile,
             engine.seed, n_levels, engine.accel, engine.accel_block,
             engine.accel_gather, engine.accel_min_tris, engine.pallas,
-            engine.pallas_block, engine.pallas_percap, engine.pallas_avg,
-            engine.pallas_interpret)
+            engine.pallas_block, engine.pallas_interpret)
 
 
 def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
@@ -384,7 +387,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
 
     def chunk_fn(sa, prep, wvn, px, py, valid, cells, cell_idx, cell_valid, key):
         if use_pallas and prep.pallas_pack is None:
-            from ..ops.pallas_trace import pack_cluster_tris
+            from ..ops.block_trace import pack_cluster_tris
             prep = prep.replace(pallas_pack=pack_cluster_tris(
                 prep, sa.tri_valid, static.n_clusters, static.cluster_size,
                 out_rows=sa.cl_lo.shape[0]))
@@ -467,7 +470,7 @@ def render(sa, static, cfg: RaytracingConfig,
     if engine.use_pallas(static):
         # hoisted per frame: the (C, 16, K) slab pack only depends on the
         # frame's triangle constants, not on the chunk
-        from ..ops.pallas_trace import pack_cluster_tris
+        from ..ops.block_trace import pack_cluster_tris
         pack = jax.jit(pack_cluster_tris, static_argnums=(2, 3, 4))(
             prep, sa.tri_valid, static.n_clusters, static.cluster_size,
             int(sa.cl_lo.shape[0]))
@@ -481,13 +484,16 @@ def render(sa, static, cfg: RaytracingConfig,
     # max useful queue factor: the full Whitted tree doubles per bounce
     max_qf = float(min(2 ** max(n_levels - 1, 0), 64))
 
+    # the raised queue factor carries forward across chunks: a scene that
+    # overflows once will overflow again, and re-discovering the factor per
+    # chunk would re-render every chunk at least twice (ADVICE r2)
+    eng, rend = engine, renderer
     for start in range(0, n_pix, chunk):
         idx = np.arange(start, start + chunk)
         valid = idx < n_pix
         idx_c = np.minimum(idx, n_pix - 1)
         px = jnp.asarray(idx_c % W, jnp.int32)
         py = jnp.asarray(idx_c // W, jnp.int32)
-        eng, rend = engine, renderer
         while True:
             c, dpt, nrm, oid, dropped = rend(
                 sa, prep, wvn, px, py, jnp.asarray(valid), cells, cell_idx,

@@ -123,6 +123,7 @@ class SceneStatic:
     has_mesh: bool
     n_clusters: int = 0
     cluster_size: int = 128
+    has_alpha_tex: bool = False
 
 
 def compile_scene(scene: Scene, width: int = 0, height: int = 0,
@@ -353,5 +354,6 @@ def compile_scene(scene: Scene, width: int = 0, height: int = 0,
         has_normal_tex=any(m.has_texture(TextureType.Normal) for m in mat_objs),
         has_mesh=bool(verts_list),
         n_clusters=n_clusters, cluster_size=K,
+        has_alpha_tex=any(m.has_texture(TextureType.Alpha) for m in mat_objs),
     )
     return arrays, static

@@ -1,12 +1,12 @@
-"""Acceleration-stack tests (VERDICT r1 item 3): the XLA cluster walk and
-the Pallas work-list kernel (interpret mode on CPU) must agree with the
-dense scan, and a full render with accel/pallas forced must match the
-default dense render.
+"""Acceleration-stack tests: the XLA cluster walk and the Pallas per-block
+kernel (interpret mode on CPU) must agree with the dense scan, including
+t_max capping (shadow distance culling) and any-hit mode, and a full render
+with accel/pallas forced must match the default dense render.
 
 These run on the CPU backend (conftest forces it); the Pallas kernel runs
 via ``interpret=True``, which exercises the identical kernel program and
-work-list prologue the TPU runs (tools/validate_accel.py is the on-hardware
-twin of this file).
+prologue the TPU runs (tools/validate_accel.py is the on-hardware twin of
+this file).
 """
 import numpy as np
 import jax
@@ -16,11 +16,11 @@ import pytest
 from rustray_tpu.config import EngineConfig
 from rustray_tpu.models.procedural import bench_scene
 from rustray_tpu.ops import rays as rays_ops
+from rustray_tpu.ops.block_trace import (coherence_key, pack_cluster_tris,
+                                         trace_tris_blocks)
 from rustray_tpu.ops.cluster_trace import (select_closest_clusters,
                                            world_cluster_aabbs)
 from rustray_tpu.ops.intersect import INF, closest_tri, prepare_triangles
-from rustray_tpu.ops.pallas_trace import (_work_list, pack_cluster_tris,
-                                          trace_tris_pallas)
 
 
 @pytest.fixture(scope="module")
@@ -77,14 +77,29 @@ def test_cluster_walk_matches_dense(accel_scene):
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_kernel_matches_dense_interpret(accel_scene):
+def test_cluster_walk_tmax(accel_scene):
+    _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
+    name, o, d, alive = _batches(sa, 512)[0]
+    t_d, i_d = closest_tri(o, d, prep, tri_ok, 1024)
+    tmax = jnp.full((512,), 4.0)
+    f_x, i_x = select_closest_clusters(
+        o, d, prep, tri_ok, w_lo, w_hi, cl_ok, static.cluster_size,
+        block=256, gather=8, t_max=tmax)
+    found_ref = (np.asarray(t_d) < 4.0)
+    f_x = np.asarray(f_x)
+    assert (f_x == found_ref).mean() >= 0.999
+    both = f_x & found_ref
+    np.testing.assert_allclose(_tri_t(prep, o, d, np.asarray(i_x))[both],
+                               np.asarray(t_d)[both], rtol=1e-4, atol=1e-5)
+
+
+def test_block_kernel_matches_dense_interpret(accel_scene):
     _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
     for name, o, d, alive in _batches(sa, 1024):
         t_d, i_d = closest_tri(o, d, prep, tri_ok, 1024)
-        f_p, i_p, trunc = trace_tris_pallas(
-            o, d, alive, prep, w_lo, w_hi, cl_ok, static.cluster_size,
-            block_n=256, percap=64, avg_visits=48, interpret=True)
-        assert not bool(trunc), name
+        f_p, i_p = trace_tris_blocks(
+            o, d, alive, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
+            block_n=256, interpret=True)
         found_d = (np.asarray(t_d) < float(INF)) & np.asarray(alive)
         f_p = np.asarray(f_p) & np.asarray(alive)
         assert (f_p == found_d).mean() >= 0.999, name
@@ -94,35 +109,62 @@ def test_pallas_kernel_matches_dense_interpret(accel_scene):
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_work_list_budget_and_truncation(accel_scene):
+def test_block_kernel_sorted_matches_unsorted(accel_scene):
+    """Coherence sorting must never change winners (it is perf-only)."""
     _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
-    name, o, d, alive = _batches(sa, 1024)[0]
-    # tiny budget must flag truncation, never crash or mis-size the grid
-    f_p, i_p, trunc = trace_tris_pallas(
-        o, d, alive, prep, w_lo, w_hi, cl_ok, static.cluster_size,
-        block_n=256, percap=4, avg_visits=2, interpret=True)
-    assert bool(trunc)
-    # zero-visit blocks (all-dead rays) still produce initialized outputs
+    name, o, d, alive = _batches(sa, 1024)[1]
+    lo = jnp.min(jnp.where(cl_ok[:, None], w_lo, jnp.float32(INF)), axis=0)
+    hi = jnp.max(jnp.where(cl_ok[:, None], w_hi, -jnp.float32(INF)), axis=0)
+    key = coherence_key(o, d, alive, lo, hi)
+    perm = jnp.argsort(key)
+    inv = jnp.zeros((1024,), jnp.int32).at[perm].set(
+        jnp.arange(1024, dtype=jnp.int32))
+    f_u, i_u = trace_tris_blocks(
+        o, d, alive, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
+        block_n=256, interpret=True)
+    f_s, i_s = trace_tris_blocks(
+        o[perm], d[perm], alive[perm], None, prep, w_lo, w_hi, cl_ok,
+        static.cluster_size, block_n=256, interpret=True)
+    f_s, i_s = np.asarray(f_s)[np.asarray(inv)], np.asarray(i_s)[np.asarray(inv)]
+    live = np.asarray(alive)
+    assert (np.asarray(f_u) == f_s)[live].all()
+    both = np.asarray(f_u) & f_s & live
+    np.testing.assert_allclose(_tri_t(prep, o, d, i_s)[both],
+                               _tri_t(prep, o, d, np.asarray(i_u))[both],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_block_kernel_tmax_and_anyhit(accel_scene):
+    _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
+    name, o, d, alive = _batches(sa, 512)[0]
+    t_d, _ = closest_tri(o, d, prep, tri_ok, 1024)
+    tmax = jnp.full((512,), 4.0)
+    # closest mode with t_max: found iff dense-closest within the cap
+    f_c, i_c = trace_tris_blocks(
+        o, d, None, tmax, prep, w_lo, w_hi, cl_ok, static.cluster_size,
+        block_n=256, mode="closest", interpret=True)
+    found_ref = np.asarray(t_d) < 4.0
+    assert (np.asarray(f_c) == found_ref).mean() >= 0.999
+    t_c = _tri_t(prep, o, d, np.asarray(i_c))
+    assert (t_c[np.asarray(f_c)] <= 4.0 + 1e-4).all()
+    # any-hit mode: the found mask must agree (occlusion boolean is exact);
+    # the winning occluder may legitimately differ (first vs closest hit)
+    f_a, i_a = trace_tris_blocks(
+        o, d, None, tmax, prep, w_lo, w_hi, cl_ok, static.cluster_size,
+        block_n=256, mode="any", interpret=True)
+    assert (np.asarray(f_a) == found_ref).mean() >= 0.999
+    t_a = _tri_t(prep, o, d, np.asarray(i_a))
+    assert (t_a[np.asarray(f_a)] <= 4.0 + 1e-4).all()
+
+
+def test_block_kernel_dead_blocks(accel_scene):
+    _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
+    name, o, d, _ = _batches(sa, 256)[0]
     dead = jnp.zeros((256,), bool)
-    f0, i0, tr0 = trace_tris_pallas(
-        o[:256], d[:256], dead, prep, w_lo, w_hi, cl_ok,
-        static.cluster_size, block_n=256, percap=64, avg_visits=8,
-        interpret=True)
+    f0, i0 = trace_tris_blocks(
+        o, d, dead, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
+        block_n=256, interpret=True)
     assert not np.asarray(f0).any()
-    assert not bool(tr0)
-
-
-def test_work_list_pads_pool_to_grid():
-    # regression: W > NB*percap used to leave the prefetch tables short of
-    # the grid, corrupting arbitrary output blocks
-    order = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (2, 1))
-    count = jnp.asarray([3, 8], jnp.int32)
-    bw, cw, first, dov, trunc = _work_list(order, count, 2, 8, 64)
-    assert bw.shape == (64,) and cw.shape == (64,)
-    bw = np.asarray(bw)
-    assert (bw[:11] != 2).all() and (bw[11:] == 2).all()
-    assert np.asarray(first)[[0, 3]].tolist() == [1, 1]
-    assert not bool(trunc)
 
 
 def test_render_with_accel_matches_dense(accel_scene):
@@ -137,7 +179,6 @@ def test_render_with_accel_matches_dense(accel_scene):
     pal = render(sa, static, cfg, EngineConfig(accel="on", pallas="on",
                                                pallas_interpret=True,
                                                pallas_block=256,
-                                               pallas_percap=64, pallas_avg=48,
                                                chunk_pixels=4096))
     for out in (acc, pal):
         frac = np.isclose(out["color"], base["color"],

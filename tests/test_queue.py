@@ -37,7 +37,10 @@ def test_low_queue_auto_raises(capsys):
     m.reflectivity = 0.5
     m.alpha = 0.5
     m.refraction_index = 1.5
-    s = Sphere("big", m, 0.0, 0.0, -5.0, 3.0)
+    # radius 4.8 at z=-5 with the default 90-degree fov: the sphere covers
+    # every pixel, so level 1 spawns 2 live children per primary ray and
+    # queue_factor=1.0 must drop half of them
+    s = Sphere("big", m, 0.0, 0.0, -5.0, 4.8)
     s.basic.id = scene.get_next_id()
     scene.items.append(s)
     scene.materials.append(m)

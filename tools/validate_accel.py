@@ -1,5 +1,6 @@
 """Cross-validate the acceleration stack: dense scan vs XLA cluster walk vs
-Pallas work-list kernel, on coherent (camera) and incoherent (random) rays.
+the Pallas per-block kernel, on coherent (camera) and incoherent (random)
+rays.
 
 Usage:  python tools/validate_accel.py [grid] [n_rays]
 On CPU the Pallas kernel runs in interpret mode automatically.
@@ -21,7 +22,7 @@ def main(grid=3, n=4096, block_n=512, seed=0):
     from rustray_tpu.ops.intersect import closest_tri, prepare_triangles, INF
     from rustray_tpu.ops.cluster_trace import (select_closest_clusters,
                                                world_cluster_aabbs)
-    from rustray_tpu.ops.pallas_trace import pack_cluster_tris, trace_tris_pallas
+    from rustray_tpu.ops.block_trace import pack_cluster_tris, trace_tris_blocks
     from rustray_tpu.ops import rays as rays_ops
 
     scene = bench_scene(grid=grid, width=160, height=90)
@@ -71,9 +72,9 @@ def main(grid=3, n=4096, block_n=512, seed=0):
 
     @jax.jit
     def run_pallas(o, d, alive):
-        return trace_tris_pallas(
-            o, d, alive, prep, w_lo, w_hi, cl_ok, static.cluster_size,
-            block_n=block_n, percap=64, avg_visits=48, interpret=interp)
+        return trace_tris_blocks(
+            o, d, alive, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
+            block_n=block_n, interpret=interp)
 
     ok_all = True
     for kind in ("camera", "random", "halfdead"):
@@ -82,16 +83,12 @@ def main(grid=3, n=4096, block_n=512, seed=0):
         print(f"  {kind}: dense done", flush=True)
         f_x, i_x = jax.device_get(run_xla(o, d))
         print(f"  {kind}: xla done", flush=True)
-        f_p, i_p, trunc = jax.device_get(run_pallas(o, d, alive))
+        f_p, i_p = jax.device_get(run_pallas(o, d, alive))
         print(f"  {kind}: pallas done", flush=True)
         found_d = t_d < np.float32(INF)
         live = np.asarray(alive)
 
-        def cmp(name, f, i, skip=False):
-            if skip:
-                print(f"  {kind:9s} {name:6s}: truncated -> exact fallback "
-                      f"path engaged (skipping raw compare)")
-                return True
+        def cmp(name, f, i):
             same_found = (f == found_d) | ~live
             # winners may differ on exact-t ties; compare recomputed t
             n_ = np.asarray(prep.n)
@@ -115,12 +112,11 @@ def main(grid=3, n=4096, block_n=512, seed=0):
             good = bool(same_found.mean() >= 0.999 and close)
             print(f"  {kind:9s} {name:6s}: found-match={same_found.mean():.4f} "
                   f"t-close={close} bad={nbad} "
-                  f"maxrel={float(rel.max()) if both.any() else 0:.2e} "
-                  f"trunc={bool(trunc) if name == 'pallas' else '-'}")
+                  f"maxrel={float(rel.max()) if both.any() else 0:.2e}")
             return good
 
         ok_all &= cmp("xla", f_x, i_x)
-        ok_all &= cmp("pallas", f_p, i_p, skip=bool(trunc))
+        ok_all &= cmp("pallas", f_p, i_p)
     print("ALL OK" if ok_all else "MISMATCH")
     return 0 if ok_all else 1
 
