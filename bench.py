@@ -42,6 +42,8 @@ def main():
     lat = int(os.environ.get("BENCH_LAT", 12 if small else 52))
     lon = int(os.environ.get("BENCH_LON", 18 if small else 68))
     impl = os.environ.get("BENCH_IMPL", "auto")
+    chunk_env = int(os.environ.get("BENCH_CHUNK", 0))
+    block_env = int(os.environ.get("BENCH_BLOCK", 0))
 
     json_path = ensure_bench_assets(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -59,6 +61,10 @@ def main():
 
     engine = EngineConfig(queue_factor=2.0,
                           chunk_pixels=32768 if not small else 16384)
+    if chunk_env:
+        engine.chunk_pixels = chunk_env
+    if block_env:
+        engine.pallas_block = block_env
     if impl == "dense":
         engine.accel = "off"
         engine.pallas = "off"
@@ -76,7 +82,7 @@ def main():
     # warmup (compile)
     render(sa, static, cfg, engine)
     t0 = time.time()
-    render(sa, static, cfg, engine)
+    out = render(sa, static, cfg, engine)
     elapsed = time.time() - t0
 
     if os.environ.get("BENCH_BREAKDOWN") == "1":
@@ -84,6 +90,14 @@ def main():
 
     n_primary = width * height * samples
     mrays = n_primary / elapsed / 1e6
+    device_rays = int(out.get("device_rays", 0))
+    dev_mrays = device_rays / elapsed / 1e6
+    # north-star config (BASELINE.json): monte_carlo samples=128 at the same
+    # resolution.  Per-sample cost is constant (the sample loop is a scan of
+    # identical programs), so the 128-spp time is the measured per-sample
+    # time x 128 — recorded as an extrapolation, labeled as such.
+    ns_seconds = elapsed / samples * 128.0
+    ns_mrays = width * height * 128.0 / ns_seconds / 1e6
     print(json.dumps({
         "metric": "primary_mrays_per_sec",
         "value": round(mrays, 3),
@@ -95,6 +109,10 @@ def main():
             "clusters": int(static.n_clusters),
             "scene": "gltf-loaded sponza-class (data/bench)",
             "seconds_per_frame": round(elapsed, 3),
+            "device_rays_traced": device_rays,
+            "device_mrays_per_sec": round(dev_mrays, 3),
+            "north_star_128spp_seconds_extrapolated": round(ns_seconds, 1),
+            "north_star_128spp_primary_mrays_extrapolated": round(ns_mrays, 3),
         },
     }))
 

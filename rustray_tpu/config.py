@@ -99,7 +99,11 @@ class EngineConfig:
     # granularity; ``pallas_interpret`` runs the kernel in the Pallas
     # interpreter (CPU tests).
     pallas: str = "auto"
-    pallas_block: int = 512
+    # 128-ray blocks measured fastest on the 250k-tri bench: visit-list
+    # totals grow sublinearly as blocks shrink while per-visit cost scales
+    # with block_n, so smaller blocks do strictly less ray x triangle work
+    # on incoherent (shadow/reflection) wavefronts
+    pallas_block: int = 128
     pallas_interpret: bool = False
 
     def use_accel(self, static) -> bool:

@@ -152,10 +152,15 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
             from .cluster_trace import recompute_t
             cl_ok = sa.cl_valid & inst_ok[sa.cl_inst]
             alive_f = alive if alive is not None else jnp.ones((n,), bool)
-            found, tri_idx = _sorted_mesh_trace(
-                sa, static, prep, o, d, alive_f, t_max, tri_ok, cl_ok,
-                accel_boxes, accel_impl, accel_block, accel_gather,
-                block_n, pallas_interpret, for_shadow)
+            # deep wavefront levels are often entirely dead (no live
+            # reflection/refraction children); skip the traversal outright
+            found, tri_idx = jax.lax.cond(
+                jnp.any(alive_f),
+                lambda: _sorted_mesh_trace(
+                    sa, static, prep, o, d, alive_f, t_max, tri_ok, cl_ok,
+                    accel_boxes, accel_impl, accel_block, accel_gather,
+                    block_n, pallas_interpret, for_shadow),
+                lambda: (jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32)))
             t_tri = recompute_t(o, d, prep, tri_idx, found)
         else:
             t_tri, tri_idx = closest_tri(o, d, prep, tri_ok, tri_tile)

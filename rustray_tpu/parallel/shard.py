@@ -100,8 +100,9 @@ def make_sharded_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
     def body(sa, px, py, valid, cells, cell_idx, cell_valid, key):
         prep = prepare_triangles(sa)
         wvn = prepare_vertex_normals(sa)
-        c, d, n, oid, dropped = chunk_fn(sa, prep, wvn, px, py, valid,
-                                         cells, cell_idx, cell_valid, key)
+        c, d, n, oid, dropped, traced = chunk_fn(sa, prep, wvn, px, py,
+                                                 valid, cells, cell_idx,
+                                                 cell_valid, key)
         c = jax.lax.psum(c, "samples")
         d = jax.lax.psum(d, "samples")
         n = jax.lax.psum(n, "samples")
@@ -110,13 +111,14 @@ def make_sharded_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
         owns_last = jnp.any(cell_idx == last_sample)
         oid = jax.lax.psum(jnp.where(owns_last, oid, 0), "samples")
         dropped = jax.lax.psum(dropped, ("rays", "samples"))
-        return c, d, n, oid, dropped
+        traced = jax.lax.psum(traced, ("rays", "samples"))
+        return c, d, n, oid, dropped, traced
 
     f = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P("rays"), P("rays"), P("rays"),
                   P("samples", None), P("samples"), P("samples"), P()),
-        out_specs=(P("rays"), P("rays"), P("rays"), P("rays"), P()),
+        out_specs=(P("rays"), P("rays"), P("rays"), P("rays"), P(), P()),
         check_rep=False)
     return jax.jit(f)
 
@@ -135,7 +137,7 @@ def render_sharded(sa, static, cfg: RaytracingConfig,
     key = jax.random.PRNGKey(engine.seed)
 
     f = make_sharded_renderer(static, cfg, engine, mesh, n_levels)
-    c, d, n, oid, dropped = f(sa, jnp.asarray(px), jnp.asarray(py),
+    c, d, n, oid, dropped, traced = f(sa, jnp.asarray(px), jnp.asarray(py),
                               jnp.asarray(valid), jnp.asarray(cells),
                               jnp.asarray(cell_idx), jnp.asarray(cell_valid),
                               key)
@@ -158,7 +160,7 @@ def render_sharded(sa, static, cfg: RaytracingConfig,
     normal = np.where(nl > 0, normal / np.maximum(nl, 1e-30), 0.0)
     return dict(image=image.reshape(H, W, 3), color=color.reshape(H, W, 3),
                 depth=depth.reshape(H, W), normal=normal.reshape(H, W, 3),
-                object_id=obj_id.reshape(H, W))
+                object_id=obj_id.reshape(H, W), device_rays=int(traced))
 
 
 # --------------------------------------------------------------------------
@@ -204,8 +206,8 @@ def make_sharded_value_and_grad(sa_template, static, cfg: RaytracingConfig,
             sa2 = apply_diff_params(sa, p)
             prep = prepare_triangles(sa2)
             wvn = prepare_vertex_normals(sa2)
-            c, _, _, _, _ = chunk_fn(sa2, prep, wvn, px, py, valid,
-                                     cells, cell_idx, cell_valid, key)
+            c, _, _, _, _, _ = chunk_fn(sa2, prep, wvn, px, py, valid,
+                                        cells, cell_idx, cell_valid, key)
             c = jax.lax.psum(c, "samples") * inv_s
             err = (c - target) ** 2
             # normalized here so loss AND grads share the same scale

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict
 
 import jax
@@ -46,9 +47,13 @@ SHADOW_BIAS = shade_ops.SHADOW_BIAS
 
 def _item_color(sa, static, mat, tex_type, uv, base):
     """``get_item_color`` (src/raytracing.rs:677-712): material color
-    multiplied componentwise (incl. alpha) by the texture if present."""
+    multiplied componentwise (incl. alpha) by the texture if present.
+
+    The atlas gather is skipped entirely when no material in the scene has
+    this channel (static per-channel mask) — gathers on every lane of every
+    level are a top-3 device cost."""
     rgb = base[mat]
-    if not static.has_any_texture:
+    if not static.tex_channels[int(tex_type)]:
         return rgb, jnp.ones(rgb.shape[:-1], jnp.float32)
     rgba, has = tex_ops.get_tex_color(sa, mat, int(tex_type), uv)
     out = jnp.where(has[..., None], rgb * rgba[..., :3], rgb)
@@ -57,8 +62,9 @@ def _item_color(sa, static, mat, tex_type, uv, base):
 
 
 def _tex_scalar(sa, static, mat, tex_type, uv):
-    """First texture channel + presence mask; (0, False) without textures."""
-    if not static.has_any_texture:
+    """First texture channel + presence mask; (0, False) when no material
+    in the scene has the channel."""
+    if not static.tex_channels[int(tex_type)]:
         z = jnp.zeros(mat.shape, jnp.float32)
         return z, jnp.zeros(mat.shape, bool)
     rgba, has = tex_ops.get_tex_color(sa, mat, int(tex_type), uv)
@@ -212,6 +218,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     contrib = (sa.lights.color[None] * (spec_term + base_term)
                * intensity[..., None])
     local = jnp.sum(jnp.where(enabled[..., None], contrib, 0.0), axis=1)
+    n_shadow_rays = jnp.sum(sh_alive.astype(jnp.int32))
 
     # ---- fresnel / reflectivity / refraction ----
     refr_index = mats.refraction_index[mat]
@@ -266,6 +273,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
         spawn_refr=spawn_refr & (w_refr_child > 0.0),
         refr_spawned=spawn_refr,
         alpha_zero=alpha_zero,
+        n_shadow_rays=n_shadow_rays,
     )
     return emission, aov, children
 
@@ -322,6 +330,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
         weight = jnp.ones((n, 3), jnp.float32)
         alive = valid
         dropped = jnp.int32(0)
+        traced = jnp.int32(0)   # live device rays actually traced (all kinds)
 
         aov0 = None
         levels = []  # per level: contrib, own_id, override, perm (into prev 2N)
@@ -331,6 +340,8 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
             emission, aov, ch = _shade_level(
                 sa, static, prep, wvn, cfg, o, d, weight, alive, depth, lkey,
                 boxes=boxes, engine=engine, accel_impl=accel_impl)
+            traced = traced + jnp.sum(alive.astype(jnp.int32)) \
+                + ch["n_shadow_rays"]
             contrib = jnp.where(alive[..., None], weight * emission, 0.0)
             if depth == 1:
                 aov0 = aov
@@ -383,7 +394,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
             refr_resolved = id_expanded[n_parent:]
             id_acc = jnp.where(parent["override"], refr_resolved, parent["own_id"])
 
-        return acc, aov0["depth"], aov0["normal"], id_acc, dropped
+        return acc, aov0["depth"], aov0["normal"], id_acc, dropped, traced
 
     def chunk_fn(sa, prep, wvn, px, py, valid, cells, cell_idx, cell_valid, key):
         if use_pallas and prep.pallas_pack is None:
@@ -392,31 +403,32 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
                 prep, sa.tri_valid, static.n_clusters, static.cluster_size,
                 out_rows=sa.cl_lo.shape[0]))
         if cells.shape[0] == 1:
-            color, depth, normal, obj_id, dropped = render_sample(
+            color, depth, normal, obj_id, dropped, traced = render_sample(
                 sa, prep, wvn, px, py, valid, cells[0],
                 jax.random.fold_in(key, cell_idx[0]))
             m = cell_valid[0]
             return (jnp.where(m, color, 0.0), jnp.where(m, depth, 0.0),
                     jnp.where(m, normal, 0.0), jnp.where(m, obj_id, 0),
-                    jnp.where(m, dropped, 0))
+                    jnp.where(m, dropped, 0), jnp.where(m, traced, 0))
 
         def body(carry, inp):
-            c_sum, d_sum, n_sum, oid_prev, drop_sum = carry
+            c_sum, d_sum, n_sum, oid_prev, drop_sum, tr_sum = carry
             cell, idx, cv = inp
-            color, depth, normal, obj_id, dropped = render_sample(
+            color, depth, normal, obj_id, dropped, traced = render_sample(
                 sa, prep, wvn, px, py, valid, cell, jax.random.fold_in(key, idx))
             return (c_sum + jnp.where(cv, color, 0.0),
                     d_sum + jnp.where(cv, depth, 0.0),
                     n_sum + jnp.where(cv, normal, 0.0),
                     jnp.where(cv, obj_id, oid_prev),
-                    drop_sum + jnp.where(cv, dropped, 0)), None
+                    drop_sum + jnp.where(cv, dropped, 0),
+                    tr_sum + jnp.where(cv, traced, 0)), None
 
         n = px.shape[0]
         init = (jnp.zeros((n, 3)), jnp.zeros((n,)), jnp.zeros((n, 3)),
-                jnp.zeros((n,), jnp.int32), jnp.int32(0))
-        (c_sum, d_sum, n_sum, obj_id, dropped), _ = jax.lax.scan(
+                jnp.zeros((n,), jnp.int32), jnp.int32(0), jnp.int32(0))
+        (c_sum, d_sum, n_sum, obj_id, dropped, traced), _ = jax.lax.scan(
             body, init, (cells, cell_idx, cell_valid))
-        return c_sum, d_sum, n_sum, obj_id, dropped
+        return c_sum, d_sum, n_sum, obj_id, dropped, traced
 
     return chunk_fn
 
@@ -439,13 +451,24 @@ def _prepare(sa):
 
 
 def render(sa, static, cfg: RaytracingConfig,
-           engine: EngineConfig = None) -> Dict[str, np.ndarray]:
+           engine: EngineConfig = None, checkpoint_path: str = None,
+           max_chunks: int = None) -> Dict[str, np.ndarray]:
     """Render the full frame.  Returns numpy AOVs:
 
     - ``image``: (H, W, 3) uint8 (clamped, optionally gamma-encoded,
       truncating quantization like src/raytracing.rs:410-424)
     - ``color``: (H, W, 3) float32 pre-quantization (sample-averaged, clamped)
     - ``normal``: (H, W, 3), ``depth``: (H, W), ``object_id``: (H, W) int32
+
+    ``checkpoint_path``: persist per-chunk accumulator state + cursor after
+    every chunk (atomic tmp+rename), and resume from it when it exists and
+    matches the render fingerprint — a long render interrupted at any point
+    reproduces the uninterrupted image bit-exactly on resume.  The file is
+    removed on completion.  (The reference has no equivalent; its only
+    render artifacts are the per-frame PNGs, src/run.rs:547-586.)
+
+    ``max_chunks``: render at most this many chunks then return the partial
+    frame (progressive rendering / checkpoint tests).
     """
     engine = engine or EngineConfig()
     W, H = static.width, static.height
@@ -480,22 +503,47 @@ def render(sa, static, cfg: RaytracingConfig,
     depth = np.zeros((n_pix,), np.float32)
     normal = np.zeros((n_pix, 3), np.float32)
     obj_id = np.zeros((n_pix,), np.int32)
+    device_rays = 0
 
     # max useful queue factor: the full Whitted tree doubles per bounce
     max_qf = float(min(2 ** max(n_levels - 1, 0), 64))
+
+    # checkpoint identity: anything that changes per-chunk numerics
+    fingerprint = repr((W, H, chunk, cfg, engine, n_levels))
+    cursor = 0
+    qf_resume = None
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        z = np.load(checkpoint_path, allow_pickle=False)
+        if str(z["fingerprint"]) == fingerprint:
+            color, depth = z["color"], z["depth"]
+            normal, obj_id = z["normal"], z["obj_id"]
+            cursor = int(z["cursor"])
+            device_rays = int(z["device_rays"])
+            qf_resume = float(z["queue_factor"])
+            print(f"resuming render from checkpoint {checkpoint_path} "
+                  f"(pixel {cursor}/{n_pix})")
+        else:
+            print(f"warning: checkpoint {checkpoint_path} does not match "
+                  f"this render config; starting from scratch")
 
     # the raised queue factor carries forward across chunks: a scene that
     # overflows once will overflow again, and re-discovering the factor per
     # chunk would re-render every chunk at least twice (ADVICE r2)
     eng, rend = engine, renderer
-    for start in range(0, n_pix, chunk):
+    if qf_resume is not None and qf_resume != engine.queue_factor:
+        eng = dataclasses.replace(engine, queue_factor=qf_resume)
+        rend = make_chunk_renderer(static, cfg, eng, n_levels)
+    chunks_done = 0
+    for start in range(cursor, n_pix, chunk):
+        if max_chunks is not None and chunks_done >= max_chunks:
+            break
         idx = np.arange(start, start + chunk)
         valid = idx < n_pix
         idx_c = np.minimum(idx, n_pix - 1)
         px = jnp.asarray(idx_c % W, jnp.int32)
         py = jnp.asarray(idx_c // W, jnp.int32)
         while True:
-            c, dpt, nrm, oid, dropped = rend(
+            c, dpt, nrm, oid, dropped, traced = rend(
                 sa, prep, wvn, px, py, jnp.asarray(valid), cells, cell_idx,
                 cell_valid, jax.random.fold_in(key, start))
             n_drop = int(dropped)
@@ -515,16 +563,30 @@ def render(sa, static, cfg: RaytracingConfig,
                   f"with queue_factor={new_qf}")
             eng = dataclasses.replace(eng, queue_factor=new_qf)
             rend = make_chunk_renderer(static, cfg, eng, n_levels)
+        device_rays += int(traced)
         sel = valid
         color[idx[sel]] = np.asarray(c)[sel]
         depth[idx[sel]] = np.asarray(dpt)[sel]
         normal[idx[sel]] = np.asarray(nrm)[sel]
         obj_id[idx[sel]] = np.asarray(oid)[sel]
+        chunks_done += 1
+        if checkpoint_path is not None:
+            tmp = checkpoint_path + ".tmp.npz"   # savez keeps exact .npz names
+            np.savez(tmp, fingerprint=fingerprint, color=color, depth=depth,
+                     normal=normal, obj_id=obj_id,
+                     cursor=np.int64(start + chunk),
+                     device_rays=np.int64(device_rays),
+                     queue_factor=np.float64(eng.queue_factor))
+            os.replace(tmp, checkpoint_path)
+
+    finished = cursor + chunks_done * chunk >= n_pix
+    if checkpoint_path is not None and finished and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
 
     inv_s = 1.0 / cfg.samples
-    color *= inv_s
-    depth *= inv_s
-    normal *= inv_s
+    color = color * inv_s
+    depth = depth * inv_s
+    normal = normal * inv_s
     color = np.minimum(color, 1.0)
 
     if cfg.gamma_correction:
@@ -542,4 +604,7 @@ def render(sa, static, cfg: RaytracingConfig,
         depth=depth.reshape(H, W),
         normal=normal.reshape(H, W, 3),
         object_id=obj_id.reshape(H, W),
+        # live device rays actually traced (primary + shadow + secondary,
+        # all samples) — the honest work count behind any Mrays/s claim
+        device_rays=device_rays,
     )

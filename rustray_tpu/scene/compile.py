@@ -124,6 +124,9 @@ class SceneStatic:
     n_clusters: int = 0
     cluster_size: int = 128
     has_alpha_tex: bool = False
+    # which TextureType slots any material actually uses — shading skips
+    # the atlas gather for absent channels (tuple: hashable for jit keys)
+    tex_channels: tuple = (False,) * 8
 
 
 def compile_scene(scene: Scene, width: int = 0, height: int = 0,
@@ -355,5 +358,7 @@ def compile_scene(scene: Scene, width: int = 0, height: int = 0,
         has_mesh=bool(verts_list),
         n_clusters=n_clusters, cluster_size=K,
         has_alpha_tex=any(m.has_texture(TextureType.Alpha) for m in mat_objs),
+        tex_channels=tuple(any(m.has_texture(t) for m in mat_objs)
+                           for t in TextureType),
     )
     return arrays, static

@@ -36,9 +36,13 @@ from .light import Light, LightType
 from .material import Material, TextureType
 from .shapes import Mesh, Sphere
 
-# When True, silently ignore the correctly-spelled "backface_culling" JSON
-# key exactly like the reference does.  Default False: accept both spellings.
-STRICT_REFERENCE_KEYS = False
+# When True (default), silently ignore the correctly-spelled
+# "backface_culling" JSON key exactly like the reference does — it only
+# reads the typo key "backface_cullig" (src/shape/mod.rs:133) and defaults
+# the flag to true (:178), which matters on sponza.json/lotus.json (both
+# carry the correctly-spelled key the reference never sees).  Set False to
+# accept both spellings.
+STRICT_REFERENCE_KEYS = True
 
 
 def _get_vec(obj, key, default):
