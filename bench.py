@@ -59,8 +59,10 @@ def main():
     cfg = scene.raytracing_config
     cfg.samples = samples
 
+    # 98304-pixel chunks measured best: per-call fixed costs (prologue,
+    # dispatch, sorts) amortize over more rays while VMEM/HBM stay in budget
     engine = EngineConfig(queue_factor=2.0,
-                          chunk_pixels=32768 if not small else 16384)
+                          chunk_pixels=98304 if not small else 16384)
     if chunk_env:
         engine.chunk_pixels = chunk_env
     if block_env:

@@ -135,52 +135,68 @@ def coherence_key(o, d, alive, lo, hi):
 # Prologue: per-block front-to-back cluster lists
 # --------------------------------------------------------------------------
 
-def _block_lists(o, d, alive, tmax, w_lo, w_hi, cl_ok, nb, block, cpad):
+def _block_lists(o, d, alive, tmax, w_lo, w_hi, cl_ok, nb, block, cpad,
+                 refine: int = 4):
     """Complete conservative front-to-back cluster list per ray block.
 
-    Interval arithmetic over the block's (alive-masked) origin/direction
-    bounding boxes lower-bounds any live ray's slab entry distance — safe
-    for both ordering and pruning.  Axes whose direction interval spans
-    zero contribute (-inf, +inf) and are skipped (octant-sorted blocks have
-    none).  Returns (order (NB, 1, cpad) int32, entry (NB, 1, cpad) f32
-    sorted ascending, count (NB,) int32).
+    Interval arithmetic over (alive-masked) origin/direction bounding boxes
+    lower-bounds any live ray's slab entry distance — safe for both
+    ordering and pruning.  Axes whose direction interval spans zero
+    contribute (-inf, +inf) and are skipped (octant-sorted blocks have
+    none).  Each block is tested as ``refine`` sub-blocks whose results are
+    unioned: sub-bounds are much tighter on incoherent wavefronts, so the
+    merged visit list shrinks at no kernel cost.  Returns (order (NB, 1,
+    cpad) int32, entry (NB, 1, cpad) f32 sorted ascending, count (NB,)
+    int32).
     """
-    o_b = o.reshape(nb, block, 3)
-    d_b = d.reshape(nb, block, 3)
-    a_b = alive.reshape(nb, block, 1)
-    olo = jnp.where(a_b, o_b, _BIG).min(axis=1)           # (NB, 3)
-    ohi = jnp.where(a_b, o_b, -_BIG).max(axis=1)
-    dlo = jnp.where(a_b, d_b, _BIG).min(axis=1)
-    dhi = jnp.where(a_b, d_b, -_BIG).max(axis=1)
-    any_alive = jnp.any(a_b[..., 0], axis=1)              # (NB,)
-    block_tmax = jnp.max(jnp.where(a_b[..., 0], tmax.reshape(nb, block),
-                                   -_BIG), axis=1)        # (NB,)
-    ax_ok = (dlo > 1e-12) | (dhi < -1e-12)                # single-sign axis
-    i1 = 1.0 / jnp.where(ax_ok, dlo, 1.0)
-    i2 = 1.0 / jnp.where(ax_ok, dhi, 1.0)
-    ilo, ihi = jnp.minimum(i1, i2), jnp.maximum(i1, i2)
+    S = refine if block % refine == 0 else 1
+    sub = block // S
+    nbs = nb * S
+    o_b = o.reshape(nbs, sub, 3)
+    d_b = d.reshape(nbs, sub, 3)
+    a_b = alive.reshape(nbs, sub, 1)
+    olo = jnp.where(a_b, o_b, _BIG).min(axis=1).reshape(nb, S, 3)
+    ohi = jnp.where(a_b, o_b, -_BIG).max(axis=1).reshape(nb, S, 3)
+    dlo = jnp.where(a_b, d_b, _BIG).min(axis=1).reshape(nb, S, 3)
+    dhi = jnp.where(a_b, d_b, -_BIG).max(axis=1).reshape(nb, S, 3)
+    sub_alive = jnp.any(a_b[..., 0], axis=1).reshape(nb, S)
+    sub_tmax = jnp.max(jnp.where(a_b[..., 0], tmax.reshape(nbs, sub),
+                                 -_BIG), axis=1).reshape(nb, S)
 
-    def plane_t(s):  # s (C, 3) -> interval of (s - o)*inv, (NB, C, 3)
-        a = s[None] - ohi[:, None]
-        b = s[None] - olo[:, None]
-        c0, c1 = a * ilo[:, None], a * ihi[:, None]
-        c2, c3 = b * ilo[:, None], b * ihi[:, None]
-        lb = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
-        ub = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
-        return lb, ub
-
-    lo_lb, lo_ub = plane_t(w_lo)
-    hi_lb, hi_ub = plane_t(w_hi)
-    near_lb = jnp.minimum(lo_lb, hi_lb)    # LB of per-ray near plane
-    far_ub = jnp.maximum(lo_ub, hi_ub)     # UB of per-ray far plane
-    near_lb = jnp.where(ax_ok[:, None], near_lb, -_BIG)
-    far_ub = jnp.where(ax_ok[:, None], far_ub, _BIG)
-    entry_lb = jnp.maximum(near_lb.max(axis=-1), 0.0)      # (NB, C)
-    exit_ub = far_ub.min(axis=-1)
-    possible = ((exit_ub >= entry_lb) & (entry_lb <= block_tmax[:, None])
-                & cl_ok[None] & any_alive[:, None])
     C = w_lo.shape[0]
-    key = jnp.where(possible, entry_lb, jnp.float32(_INF_PY))
+    possible = jnp.zeros((nb, C), bool)
+    entry_min = jnp.full((nb, C), jnp.float32(_INF_PY))
+    for s in range(S):   # sequential: caps the (NB, C, 3) intermediates
+        ax_ok = (dlo[:, s] > 1e-12) | (dhi[:, s] < -1e-12)
+        i1 = 1.0 / jnp.where(ax_ok, dlo[:, s], 1.0)
+        i2 = 1.0 / jnp.where(ax_ok, dhi[:, s], 1.0)
+        ilo, ihi = jnp.minimum(i1, i2), jnp.maximum(i1, i2)
+
+        def plane_t(sb):  # sb (C, 3) -> interval of (sb - o)*inv
+            a = sb[None] - ohi[:, s][:, None]
+            b = sb[None] - olo[:, s][:, None]
+            c0, c1 = a * ilo[:, None], a * ihi[:, None]
+            c2, c3 = b * ilo[:, None], b * ihi[:, None]
+            lb = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
+            ub = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+            return lb, ub
+
+        lo_lb, lo_ub = plane_t(w_lo)
+        hi_lb, hi_ub = plane_t(w_hi)
+        near_lb = jnp.minimum(lo_lb, hi_lb)    # LB of per-ray near plane
+        far_ub = jnp.maximum(lo_ub, hi_ub)     # UB of per-ray far plane
+        near_lb = jnp.where(ax_ok[:, None], near_lb, -_BIG)
+        far_ub = jnp.where(ax_ok[:, None], far_ub, _BIG)
+        entry_lb = jnp.maximum(near_lb.max(axis=-1), 0.0)      # (NB, C)
+        exit_ub = far_ub.min(axis=-1)
+        poss_s = ((exit_ub >= entry_lb)
+                  & (entry_lb <= sub_tmax[:, s][:, None])
+                  & cl_ok[None] & sub_alive[:, s][:, None])
+        possible = possible | poss_s
+        entry_min = jnp.minimum(entry_min,
+                                jnp.where(poss_s, entry_lb,
+                                          jnp.float32(_INF_PY)))
+    key = jnp.where(possible, entry_min, jnp.float32(_INF_PY))
     cid = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], key.shape)
     entry_s, order = jax.lax.sort((key, cid), dimension=1, num_keys=1)
     count = jnp.sum(possible, axis=1).astype(jnp.int32)
@@ -195,17 +211,41 @@ def _block_lists(o, d, alive, tmax, w_lo, w_hi, cl_ok, nb, block, cpad):
 # Kernel
 # --------------------------------------------------------------------------
 
+# slab pipeline: per-visit compute (~0.3 us) is far shorter than HBM DMA
+# latency, so a 1-deep double buffer stalls every iteration on the latency
+# (measured 3-8 us/visit).  Keep PREFETCH copies in flight across SLOTS
+# buffers (SLOTS > PREFETCH so the slab being consumed is never the one
+# being overwritten).
+_SLAB_SLOTS = 4
+_SLAB_PREFETCH = 3
+# clusters intersected per loop iteration: the per-iteration fixed cost
+# (scalar control, semaphore ops, the early-exit scalar round trip) was
+# measured at ~2.8 us — 10x the (BN, K) vector compute — so each iteration
+# processes a GROUP of consecutive front-to-back list entries as one
+# (BN, GROUP*K) fused intersection, amortizing the overhead 4x
+_GROUP = 8
+
+
 def _make_kernel(block_n: int, K: int, cpad: int, mode: str):
     inf = _INF_PY  # python float: jnp module constants would be captured
+    SLOTS = _SLAB_SLOTS
+    PREFETCH = _SLAB_PREFETCH
+
+    G = _GROUP
 
     def kernel(cnt_ref, rays_ref, order_hbm, entry_hbm, tris_hbm,
                t_ref, idx_ref, idx_sm, ent_sm, need_sm, slab, sems, lsems):
         b = pl.program_id(0)
         n = cnt_ref[b]
+        ng = pl.cdiv(n, G)                       # visit groups
         ld_i = pltpu.make_async_copy(order_hbm.at[b], idx_sm, lsems.at[0])
         ld_e = pltpu.make_async_copy(entry_hbm.at[b], ent_sm, lsems.at[1])
-        ld_i.start()
-        ld_e.start()
+
+        @pl.when(n > 0)
+        def _():
+            ld_i.start()
+            ld_e.start()
+
         t_ref[0] = jnp.full((block_n, 1), inf, jnp.float32)
         idx_ref[0] = jnp.zeros((block_n, 1), jnp.int32)
         r = rays_ref[0]                          # (BN, 8)
@@ -214,55 +254,86 @@ def _make_kernel(block_n: int, K: int, cpad: int, mode: str):
         tmax = r[:, 6:7]
         # before any visit every lane still wants up to its t_max
         need_sm[0, 0] = jnp.max(tmax)
-        ld_i.wait()
-        ld_e.wait()
 
-        def slab_dma(slot, j):
-            cid = idx_sm[0, jnp.minimum(j, cpad - 1)]
-            return pltpu.make_async_copy(tris_hbm.at[cid], slab.at[slot],
-                                         sems.at[slot])
+        def item_cid(j):
+            return idx_sm[0, jnp.minimum(j, cpad - 1)]
+
+        def group_dma(slot, jg, g):
+            # one (16, K) cluster slab into lane window g of the slot
+            return pltpu.make_async_copy(
+                tris_hbm.at[item_cid(jg * G + g)],
+                slab.at[slot, :, pl.ds(g * K, K)],
+                sems.at[slot, g])
+
+        def start_group(slot, jg):
+            for g in range(G):
+                @pl.when(jg * G + g < n)
+                def _(g=g):
+                    group_dma(slot, jg, g).start()
+
+        def wait_group(slot, jg):
+            for g in range(G):
+                @pl.when(jg * G + g < n)
+                def _(g=g):
+                    group_dma(slot, jg, g).wait()
 
         @pl.when(n > 0)
         def _():
-            slab_dma(0, 0).start()
+            ld_i.wait()
+            ld_e.wait()
+            for w in range(PREFETCH):
+                @pl.when(w < ng)
+                def _(w=w):
+                    start_group(w % SLOTS, w)
 
-        def body(j, jp):
-            # jp = visits processed so far; the walk is "done" once jp < j.
-            # A visit runs only while the front-to-back entry distance can
-            # still beat some lane's need; the first skipped visit drains
-            # the in-flight DMA started by its predecessor.
-            go = (j == jp) & (ent_sm[0, j] <= need_sm[0, 0])
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_n, G * K), 1)
+        local = lane % K
+        gband = lane // K                        # which group element
+
+        def body(jg, jp):
+            # jp = groups processed so far; the walk is "done" once jp < jg.
+            # A group runs only while its first (= nearest, lists are
+            # front-to-back) entry distance can still beat some lane's
+            # need; skipped groups' in-flight DMAs drain after the loop.
+            go = (jg == jp) & (ent_sm[0, jnp.minimum(jg * G, cpad - 1)]
+                               <= need_sm[0, 0])
 
             @pl.when(go)
             def _():
-                @pl.when(j + 1 < n)
+                @pl.when(jg + PREFETCH < ng)
                 def _():
-                    slab_dma((j + 1) % 2, j + 1).start()
+                    start_group((jg + PREFETCH) % SLOTS, jg + PREFETCH)
 
-                slab_dma(j % 2, j).wait()
-                trs = slab[j % 2]                # (16, K)
+                wait_group(jg % SLOTS, jg)
+                trs = slab[jg % SLOTS]           # (16, G*K)
                 n0, n1, n2, an = trs[0:1], trs[1:2], trs[2:3], trs[3:4]
                 g10, g11, g12 = trs[4:5], trs[5:6], trs[6:7]
                 c1 = trs[7:8]
                 g20, g21, g22 = trs[8:9], trs[9:10], trs[10:11]
                 c2 = trs[11:12]
 
-                d_n = dx * n0 + dy * n1 + dz * n2        # (BN, K)
+                d_n = dx * n0 + dy * n1 + dz * n2        # (BN, G*K)
                 o_n = ox * n0 + oy * n1 + oz * n2
                 denom_ok = jnp.abs(d_n) > jnp.float32(1e-30)
                 t = (an - o_n) / jnp.where(denom_ok, d_n, 1.0)
                 px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
                 u = px * g10 + py * g11 + pz * g12 + c1
                 v = px * g20 + py * g21 + pz * g22 + c2
+                # stale lane windows (item beyond n, or a slot reused from
+                # an earlier group with no fresh DMA) must not hit
+                valid = (jg * G + gband) < n
                 hit = (denom_ok & (t >= 0.0) & (u >= 0.0) & (v >= 0.0)
-                       & (u + v <= 1.0) & (t <= tmax))
+                       & (u + v <= 1.0) & (t <= tmax) & valid)
                 t_m = jnp.where(hit, t, inf)
                 tile_min = jnp.min(t_m, axis=1, keepdims=True)   # (BN, 1)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (block_n, K), 1)
-                within = jnp.min(jnp.where(t_m == tile_min, lane, K),
+                within = jnp.min(jnp.where(t_m == tile_min, lane, G * K),
                                  axis=1, keepdims=True)
-                cid = idx_sm[0, jnp.minimum(j, cpad - 1)]
-                gidx = cid * K + within
+                # global tri id of the winner: cid of its group element
+                cid_w = jnp.int32(0)
+                for g in range(G):
+                    cid_w = jnp.where(within // K == g, item_cid(jg * G + g),
+                                      cid_w)
+                gidx = cid_w * K + (within % K)
                 cur = t_ref[0]
                 if mode == "any":
                     # first confirmed hit freezes the lane (the reference's
@@ -279,13 +350,15 @@ def _make_kernel(block_n: int, K: int, cpad: int, mode: str):
                 else:
                     need_sm[0, 0] = jnp.max(jnp.minimum(newt, tmax))
 
-            @pl.when((j == jp) & jnp.logical_not(go))
-            def _():
-                slab_dma(j % 2, j).wait()
-
             return jp + go.astype(jnp.int32)
 
-        jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        jp = jax.lax.fori_loop(0, ng, body, jnp.int32(0))
+        # drain: groups [jp, min(jp + PREFETCH, ng)) are still in flight
+        # (warmed up or prefetched by processed groups, never waited)
+        for k in range(PREFETCH):
+            @pl.when(jp + k < jnp.minimum(jp + PREFETCH, ng))
+            def _(k=k):
+                wait_group((jp + k) % SLOTS, jp + k)
 
     return kernel
 
@@ -310,8 +383,8 @@ def _build_call(nb: int, block_n: int, C: int, K: int, cpad: int,
             pltpu.SMEM((1, cpad), jnp.int32),
             pltpu.SMEM((1, cpad), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.VMEM((2, 16, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_SLAB_SLOTS, 16, _GROUP * K), jnp.float32),
+            pltpu.SemaphoreType.DMA((_SLAB_SLOTS, _GROUP)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
