@@ -474,6 +474,11 @@ def render(sa, static, cfg: RaytracingConfig,
     W, H = static.width, static.height
     n_pix = W * H
 
+    # pin the scene SoA on device once: the chunk loop re-passes it every
+    # dispatch, and host numpy leaves would be re-transferred per call
+    # (expensive through a tunneled TPU)
+    sa = jax.device_put(sa)
+
     mats = sa.materials
     has_secondary = bool(
         np.any(np.asarray(mats.reflectivity) > 0.0)
