@@ -107,7 +107,11 @@ def main():
         "vs_baseline": round(mrays / 100.0, 4),
         "detail": {
             "backend": backend, "impl": impl, "width": width,
-            "height": height, "samples": samples, "tris": int(static.n_tris),
+            "height": height, "samples": samples,
+            "chunk_pixels": engine.chunk_pixels,
+            "pallas_block": engine.pallas_block,
+            "queue_factor": engine.queue_factor,
+            "tris": int(static.n_tris),
             "clusters": int(static.n_clusters),
             "scene": "gltf-loaded sponza-class (data/bench)",
             "seconds_per_frame": round(elapsed, 3),

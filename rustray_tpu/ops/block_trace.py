@@ -42,6 +42,7 @@ measure-zero difference from the dense path's pool order, documented.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,9 @@ _INF_PY = 3.0e38
 # sentinel origin for dead/padding rays: far outside any scene — keeps them
 # out of the prologue's block bounds; their t_max of -1 vetoes any hit
 DEAD_ORIGIN = 2.0e37
+
+# dev instrumentation sink (RUSTRAY_TRACE_STATS=1): (mode, nb, sum, max, mean)
+_TRACE_STATS = []
 
 
 # --------------------------------------------------------------------------
@@ -226,6 +230,142 @@ _SLAB_PREFETCH = 3
 _GROUP = 8
 
 
+# VMEM-resident variant: when the whole (C, 16, K) slab pack fits on-chip
+# (v5e VMEM is ~128 MB; the 250k-tri bench pack is 21 MB) the kernel keeps
+# it resident across the entire grid and reads each visit's slab with a
+# plain dynamic index — no per-visit DMAs, no semaphores, no double
+# buffering.  Measured: a dynamic (16, 128) VMEM slab read is ~20 ns vs the
+# DMA path's ~2.8 us/group fixed cost, which made the DMA kernel ~10 s of
+# the round-3 frame (invisible to the xplane op trace — tools/kernel_probe).
+_VMEM_PACK_BUDGET = 64 * 1024 * 1024   # pack bytes; beyond this, DMA path
+_VMEM_GROUP = 4                        # visits between early-exit checks
+
+
+def _make_kernel_vmem(block_n: int, K: int, cpad: int, mode: str):
+    inf = _INF_PY
+    G = _VMEM_GROUP
+
+    def kernel(cnt_ref, rays_ref, order_hbm, entry_hbm, tris_vmem,
+               t_ref, idx_ref, idx_sm, ent_sm, need_sm, lsems):
+        b = pl.program_id(0)
+        n = cnt_ref[b]
+        ng = pl.cdiv(n, G)
+        ld_i = pltpu.make_async_copy(order_hbm.at[b], idx_sm, lsems.at[0])
+        ld_e = pltpu.make_async_copy(entry_hbm.at[b], ent_sm, lsems.at[1])
+
+        @pl.when(n > 0)
+        def _():
+            ld_i.start()
+            ld_e.start()
+
+        t_ref[0] = jnp.full((block_n, 1), inf, jnp.float32)
+        idx_ref[0] = jnp.zeros((block_n, 1), jnp.int32)
+        r = rays_ref[0]                          # (BN, 8)
+        ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
+        dx, dy, dz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
+        tmax = r[:, 6:7]
+        need_sm[0, 0] = jnp.max(tmax)
+
+        @pl.when(n > 0)
+        def _():
+            ld_i.wait()
+            ld_e.wait()
+
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (block_n, K), 1)
+
+        def body(jg, jp):
+            # jp = groups processed; the walk is "done" once jp < jg.  A
+            # group runs only while its first (= nearest, lists are
+            # front-to-back) entry distance can still beat some lane's need.
+            go = (jg == jp) & (ent_sm[0, jnp.minimum(jg * G, cpad - 1)]
+                               <= need_sm[0, 0])
+
+            @pl.when(go)
+            def _():
+                cur = t_ref[0]
+                cix = idx_ref[0]
+                for g in range(G):
+                    item = jg * G + g
+                    cid = idx_sm[0, jnp.minimum(item, cpad - 1)]
+                    trs = tris_vmem[cid]          # (16, K) VMEM read
+                    n0, n1, n2, an = trs[0:1], trs[1:2], trs[2:3], trs[3:4]
+                    g10, g11, g12 = trs[4:5], trs[5:6], trs[6:7]
+                    c1 = trs[7:8]
+                    g20, g21, g22 = trs[8:9], trs[9:10], trs[10:11]
+                    c2 = trs[11:12]
+
+                    d_n = dx * n0 + dy * n1 + dz * n2        # (BN, K)
+                    o_n = ox * n0 + oy * n1 + oz * n2
+                    denom_ok = jnp.abs(d_n) > jnp.float32(1e-30)
+                    t = (an - o_n) / jnp.where(denom_ok, d_n, 1.0)
+                    px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
+                    u = px * g10 + py * g11 + pz * g12 + c1
+                    v = px * g20 + py * g21 + pz * g22 + c2
+                    hit = (denom_ok & (t >= 0.0) & (u >= 0.0) & (v >= 0.0)
+                           & (u + v <= 1.0) & (t <= tmax) & (item < n))
+                    t_m = jnp.where(hit, t, inf)
+                    tile_min = jnp.min(t_m, axis=1, keepdims=True)  # (BN, 1)
+                    within = jnp.min(jnp.where(t_m == tile_min, lane_k, K),
+                                     axis=1, keepdims=True)
+                    gidx = cid * K + jnp.minimum(within, K - 1)
+                    if mode == "any":
+                        better = (tile_min < inf) & (cur >= inf)
+                    else:
+                        better = tile_min < cur
+                    cur = jnp.where(better, tile_min, cur)
+                    cix = jnp.where(better, gidx, cix)
+                t_ref[0] = cur
+                idx_ref[0] = cix
+                if mode == "any":
+                    need_sm[0, 0] = jnp.max(
+                        jnp.where(cur < inf, jnp.float32(-_INF_PY), tmax))
+                else:
+                    need_sm[0, 0] = jnp.max(jnp.minimum(cur, tmax))
+
+            return jp + go.astype(jnp.int32)
+
+        jax.lax.fori_loop(0, ng, body, jnp.int32(0))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_vmem(nb: int, block_n: int, C: int, K: int, cpad: int,
+                     mode: str, interpret: bool = False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, block_n, 8), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # order (NB, 1, cpad)
+            pl.BlockSpec(memory_space=pl.ANY),   # entry (NB, 1, cpad)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tris resident (C,16,K)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_n, 1), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, block_n, 1), lambda b, c: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, cpad), jnp.int32),
+            pltpu.SMEM((1, cpad), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    pack_bytes = C * 16 * K * 4
+    return pl.pallas_call(
+        _make_kernel_vmem(block_n, K, cpad, mode),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, block_n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, block_n, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=pack_bytes + 8 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
 def _make_kernel(block_n: int, K: int, cpad: int, mode: str):
     inf = _INF_PY  # python float: jnp module constants would be captured
     SLOTS = _SLAB_SLOTS
@@ -287,7 +427,6 @@ def _make_kernel(block_n: int, K: int, cpad: int, mode: str):
                     start_group(w % SLOTS, w)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (block_n, G * K), 1)
-        local = lane % K
         gband = lane // K                        # which group element
 
         def body(jg, jp):
@@ -408,8 +547,10 @@ def trace_tris_blocks(o, d, alive, t_max, prep: TrianglePrep, w_lo, w_hi,
     :func:`coherence_key` for performance — never required for
     correctness).  ``t_max`` (N,) caps accepted hits (shadow rays pass the
     light distance); None means unbounded.  ``alive`` masks lanes whose
-    result is unused.  Returns (found (N,) bool, best_tri (N,) int32).
-    Selection-only; recompute t with ops/cluster_trace.recompute_t.
+    result is unused.  Returns (found (N,) bool, best_tri (N,) int32,
+    best_t (N,) f32 — INF on miss).  Selection-only (best_t is
+    stop-gradient'ed); callers route gradients through
+    ops/traverse.selected_t, whose backward recomputes t analytically.
     """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
@@ -441,6 +582,14 @@ def trace_tris_blocks(o, d, alive, t_max, prep: TrianglePrep, w_lo, w_hi,
 
     order, entry, count = _block_lists(o, d, alive, t_max, w_lo, w_hi,
                                        cl_ok, nb, block_n, cpad)
+    if os.environ.get("RUSTRAY_TRACE_STATS"):
+        # dev instrumentation: visit-list population per trace call (upper
+        # bound on kernel visits; the early exit only shrinks it)
+        jax.debug.callback(
+            lambda s, mx, a: _TRACE_STATS.append(
+                (mode, int(nb), int(s), int(mx), float(a))),
+            jnp.sum(count), jnp.max(count), jnp.mean(count.astype(jnp.float32)),
+            ordered=False)
 
     rays = jnp.concatenate([o, d, t_max[:, None]], axis=1)     # (Np, 7)
     rays = jnp.pad(rays, ((0, 0), (0, 1))).reshape(nb, block_n, 8)
@@ -451,8 +600,13 @@ def trace_tris_blocks(o, d, alive, t_max, prep: TrianglePrep, w_lo, w_hi,
             "pack_cluster_tris (wavefront._prepare does this when the "
             "pallas path is enabled)")
 
-    call = _build_call(nb, block_n, C, K, cpad, mode, interpret)
+    pack_rows = pack.shape[0]
+    if pack_rows * 16 * K * 4 <= _VMEM_PACK_BUDGET:
+        call = _build_call_vmem(nb, block_n, pack_rows, K, cpad, mode,
+                                interpret)
+    else:
+        call = _build_call(nb, block_n, C, K, cpad, mode, interpret)
     t_out, idx_out = call(count, rays, order, entry, pack)
     t = t_out.reshape(-1)[:n]
     idx = idx_out.reshape(-1)[:n]
-    return t < INF, idx
+    return t < INF, idx, t

@@ -91,9 +91,10 @@ def select_closest_clusters(o, d, prep: TrianglePrep, tri_ok,
                             t_max=None):
     """Closest-hit winner selection over the clustered triangle pool.
 
-    o, d: (N, 3) world rays (d normalized).  Returns
-    (found (N,) bool, best_tri (N,) int32).  NOT differentiable by design
-    (stop_gradient inside); recompute t with :func:`recompute_t`.
+    o, d: (N, 3) world rays (d normalized).  Returns (found (N,) bool,
+    best_tri (N,) int32, best_t (N,) f32 — INF on miss).  NOT
+    differentiable by design (stop_gradient inside); route gradients
+    through ops/traverse.selected_t (or :func:`recompute_t`).
 
     Per block: slab-test against all clusters, sort survivors front-to-
     back, then visit them in *rounds of ``gather`` clusters*: one round
@@ -186,7 +187,7 @@ def select_closest_clusters(o, d, prep: TrianglePrep, tri_ok,
     best_t, best_i = jax.vmap(per_block)(o_blk, d_blk, t_blk)
     best_t = best_t.reshape(-1)[:n]
     best_i = best_i.reshape(-1)[:n]
-    return best_t < INF, best_i
+    return best_t < INF, best_i, best_t
 
 
 def recompute_t(o, d, prep: TrianglePrep, tri_idx, found):

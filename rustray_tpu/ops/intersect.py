@@ -77,6 +77,24 @@ class TrianglePrep:
     # Pallas trace kernel (ops/block_trace.pack_cluster_tris); None when the
     # kernel is unused.  Selection-only — consumers stop_gradient it.
     pallas_pack: object = None
+    # Per-winner shading packs (ops/traverse.build_shade_packs).  TPU gathers
+    # cost ~6 ns/row regardless of row width up to 16 floats (measured,
+    # tools/gather_bench.py), so all per-triangle data a winning hit needs is
+    # packed into two (T, 16) tables — ONE gather each instead of ~12
+    # separate per-component gathers (the round-3 frame spent >60% of device
+    # time in exactly those gathers).
+    #
+    # shade_pack (T, 16): 0-2 n·bsign, 3 an·bsign, 4-6 g1, 7 c1, 8-10 g2,
+    #   11 c2, 12-14 flat_n, 15 owner instance (exact small int as f32).
+    #   Folding backface_sign into (n, an) keeps t = (an - o·n)/(d·n)
+    #   bit-identical (sign flips cancel) while making the backface test a
+    #   plain d·n' > 0.
+    # corner_pack (T, 16): 0-8 world vertex normals of the 3 corners,
+    #   9 has_loaded_normals, 10-15 UV coords of the 3 corners (zeros when
+    #   the mesh has no UV topology — reproducing the (0, 0) fallback of
+    #   src/shape/mesh.rs:105-161).
+    shade_pack: object = None
+    corner_pack: object = None
 
 
 def prepare_triangles(sa) -> TrianglePrep:

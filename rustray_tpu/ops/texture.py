@@ -81,14 +81,46 @@ def get_tex_color(sa, mat_idx, tex_type: int, uv):
     offset = sa.materials.tex_offset[mat_idx, tex_type]
     w = sa.materials.tex_w[mat_idx, tex_type]
     h = sa.materials.tex_h[mat_idx, tex_type]
+    nearest = sa.materials.tex_nearest[mat_idx]
+    return _sample_channel(sa.tex_texels, offset, w, h, nearest, uv,
+                           True, True)
+
+
+def _sample_channel(texels, offset, w, h, nearest, uv,
+                    any_nearest: bool, any_bilinear: bool):
+    """Shared fetch core over pre-gathered (offset, w, h, nearest) arrays.
+
+    ``any_nearest`` / ``any_bilinear`` are compile-time flags: a filter mode
+    no material in the scene uses is skipped entirely (each mode is 1 resp.
+    4 texel-pool gathers — a top device cost, see tools/gather_bench.py)."""
     has = w > 0
     w_safe = jnp.maximum(w, 1)
     h_safe = jnp.maximum(h, 1)
     u, v = uv[..., 0], uv[..., 1]
-    nearest = sa.materials.tex_nearest[mat_idx]
-    rgba_n = sample_nearest(sa.tex_texels, offset, w_safe, h_safe, u, v)
-    rgba_b = sample_bilinear(sa.tex_texels, offset, w_safe, h_safe, u, v)
-    rgba = jnp.where(nearest[..., None], rgba_n, rgba_b)
+    if any_nearest and any_bilinear:
+        rgba_n = sample_nearest(texels, offset, w_safe, h_safe, u, v)
+        rgba_b = sample_bilinear(texels, offset, w_safe, h_safe, u, v)
+        rgba = jnp.where((nearest != 0)[..., None], rgba_n, rgba_b)
+    elif any_nearest:
+        rgba = sample_nearest(texels, offset, w_safe, h_safe, u, v)
+    else:
+        rgba = sample_bilinear(texels, offset, w_safe, h_safe, u, v)
     default = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
     rgba = jnp.where(has[..., None], rgba, default)
     return rgba, has
+
+
+def get_tex_color_rows(texels, mat_i, tex_type: int, uv, static):
+    """Texture fetch from pre-gathered packed material rows (the hot path).
+
+    ``mat_i`` is the (N, MATI_W) row gather of ops/traverse.build_mat_packs;
+    offset/w/h/nearest are slices of it — no per-channel material-table
+    gathers.  Semantics identical to :func:`get_tex_color`.
+    """
+    from .traverse import MI_NEAREST, MI_TEX_H, MI_TEX_OFF, MI_TEX_W
+    offset = mat_i[..., MI_TEX_OFF + tex_type]
+    w = mat_i[..., MI_TEX_W + tex_type]
+    h = mat_i[..., MI_TEX_H + tex_type]
+    nearest = mat_i[..., MI_NEAREST]
+    return _sample_channel(texels, offset, w, h, nearest, uv,
+                           static.any_nearest, static.any_bilinear)

@@ -16,6 +16,15 @@ octant + origin Morton, ops/block_trace.coherence_key) so that secondary
 and shadow wavefronts keep block bounds tight; results are scattered back
 to the caller's order.
 
+Gather discipline (the round-4 rule): XLA gathers on TPU cost ~6 ns *per
+row* regardless of row width up to 16 floats (tools/gather_bench.py), and
+scatters cost ~13x more — so per-winner data lives in two packed (T, 16)
+tables (``build_shade_packs``) fetched with ONE gather each, the winner's
+ray parameter comes straight out of the traversal (``selected_t`` defers
+the analytic recomputation to the backward pass), and per-material scalars
+live in two packed (M, ·) tables (``build_mat_packs``) fetched once per
+shade.
+
 Shadow semantics: shadow rays carry ``t_max`` = distance to the light
 (clusters and hits beyond it are culled — the reference compares the hit
 distance against the light distance, src/raytracing.rs:871-914) and the
@@ -29,11 +38,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .intersect import (INF, TrianglePrep, closest_tri, dot, safe_normalize,
                         sphere_cast, sphere_hit_normal, transform_dir,
-                        transform_point, tri_barycentrics)
+                        transform_point)
 
 
 @struct.dataclass
@@ -41,7 +51,10 @@ class Hit:
     t: jnp.ndarray        # (N,) world distance (dir normalized); INF on miss
     hit: jnp.ndarray      # (N,) bool
     is_mesh: jnp.ndarray  # (N,) bool
-    inst: jnp.ndarray     # (N,) int32 instance index (0 if miss)
+    inst: jnp.ndarray     # (N,) int32 instance index — valid for sphere hits
+                          # always; for mesh hits only on the dense path
+                          # (accel paths defer to shade_pack, resolved by
+                          # hit_attributes)
     tri: jnp.ndarray      # (N,) int32 global triangle index (mesh hits)
 
 
@@ -52,6 +65,135 @@ class HitAttrs:
     mat: jnp.ndarray       # (N,) int32 material slot
     obj_id: jnp.ndarray    # (N,) int32 reference object id
     point: jnp.ndarray     # (N, 3) world hit point
+    mat_f: jnp.ndarray     # (N, MATF_W) gathered per-material float row
+    mat_i: jnp.ndarray     # (N, MATI_W) gathered per-material int row
+
+
+# --------------------------------------------------------------------------
+# Packed per-material tables (one gather per shade instead of ~25)
+# --------------------------------------------------------------------------
+# mat_pack_f columns
+MF_BASE = 0        # 0-2 base_color
+MF_SPEC = 3        # 3-5 specular_color
+MF_AMBIENT = 6     # 6-8 ambient_color
+MF_ALPHA = 9
+MF_SHININESS = 10
+MF_REFLECTIVITY = 11
+MF_REFR_INDEX = 12
+MF_NM_STRENGTH = 13
+MF_ROUGHNESS = 14
+MF_SHADOW_SOFT = 15
+MATF_W = 16
+# mat_pack_i columns
+MI_TEX_OFF = 0     # 0-7 tex_offset per TextureType
+MI_TEX_W = 8       # 8-15
+MI_TEX_H = 16      # 16-23
+MI_NEAREST = 24
+MI_RECV_SHADOW = 25
+MI_MONTE_CARLO = 26
+MI_SMOOTH = 27
+MI_BACKFACE_CULL = 28
+MATI_W = 32
+
+
+def build_mat_packs(mats):
+    """(M, 16) float + (M, 32) int packed material tables (differentiable
+    through the float pack — gradients flow to the MaterialsSoA leaves)."""
+    mf = jnp.concatenate([
+        mats.base_color, mats.specular_color, mats.ambient_color,
+        mats.alpha[:, None], mats.shininess[:, None],
+        mats.reflectivity[:, None], mats.refraction_index[:, None],
+        mats.normal_map_strength[:, None], mats.roughness[:, None],
+        mats.shadow_softness[:, None],
+    ], axis=1)
+    M = mats.alpha.shape[0]
+    mi = jnp.concatenate([
+        mats.tex_offset, mats.tex_w, mats.tex_h,
+        mats.tex_nearest[:, None].astype(jnp.int32),
+        mats.receive_shadow[:, None].astype(jnp.int32),
+        mats.monte_carlo[:, None].astype(jnp.int32),
+        mats.smooth_shading[:, None].astype(jnp.int32),
+        mats.backface_culling[:, None].astype(jnp.int32),
+        jnp.zeros((M, MATI_W - 29), jnp.int32),
+    ], axis=1)
+    return mf, mi
+
+
+# --------------------------------------------------------------------------
+# Packed per-triangle tables (see TrianglePrep docstring for the layout)
+# --------------------------------------------------------------------------
+
+def build_shade_packs(sa, prep: TrianglePrep, wvn) -> TrianglePrep:
+    """Attach shade_pack/corner_pack to ``prep`` (once per frame)."""
+    bs = prep.backface_sign[:, None]
+    shade = jnp.concatenate([
+        prep.n * bs, (prep.an * prep.backface_sign)[:, None],
+        prep.g1, prep.c1[:, None], prep.g2, prep.c2[:, None],
+        prep.flat_n, sa.tri_inst.astype(jnp.float32)[:, None],
+    ], axis=1)                                            # (T, 16)
+    n_idx = sa.tri_n_idx
+    has_n = (n_idx[:, 0] >= 0)
+    safe_n = jnp.maximum(n_idx, 0)
+    vnc = jnp.concatenate([wvn[safe_n[:, 0]], wvn[safe_n[:, 1]],
+                           wvn[safe_n[:, 2]]], axis=1)    # (T, 9)
+    uv_idx = sa.tri_uv_idx
+    has_uv = uv_idx[:, 0] >= 0
+    safe_uv = jnp.maximum(uv_idx, 0)
+    uvc = jnp.concatenate([sa.uvs[safe_uv[:, 0]], sa.uvs[safe_uv[:, 1]],
+                           sa.uvs[safe_uv[:, 2]]], axis=1)  # (T, 6)
+    # zeroing missing-UV rows reproduces the (0, 0) fallback after
+    # interpolation (src/shape/mesh.rs:105-161)
+    uvc = jnp.where(has_uv[:, None], uvc, 0.0)
+    corner = jnp.concatenate([vnc, has_n[:, None].astype(jnp.float32), uvc],
+                             axis=1)                      # (T, 16)
+    return prep.replace(shade_pack=shade, corner_pack=corner)
+
+
+# --------------------------------------------------------------------------
+# Winner ray parameter with deferred analytic gradient
+# --------------------------------------------------------------------------
+
+@jax.custom_vjp
+def selected_t(o, d, shade_pack, tri_idx, found, t_sel):
+    """Forward: the traversal's own winner t (no gather).  Backward: the
+    analytic t = (an - o·n)/(d·n) differentiated through one gathered
+    triangle per ray — the gather (and a scatter-add into the pack
+    cotangent) only exists in gradient traces, keeping the forward render
+    free of the round-3 recompute_t gathers."""
+    del o, d, shade_pack, tri_idx
+    return jnp.where(found, t_sel, INF)
+
+
+def _selected_t_fwd(o, d, shade_pack, tri_idx, found, t_sel):
+    return selected_t(o, d, shade_pack, tri_idx, found, t_sel), \
+        (o, d, shade_pack, tri_idx, found)
+
+
+def _selected_t_bwd(res, g):
+    o, d, pack, tri_idx, found = res
+    row = pack[tri_idx]
+    n = row[:, 0:3]
+    an = row[:, 3]
+    d_n = dot(d, n)
+    denom = jnp.where(jnp.abs(d_n) > 1e-30, d_n, 1.0)
+    t = (an - dot(o, n)) / denom
+    g = jnp.where(found, g, 0.0)
+    gd = (g / denom)[:, None]
+    d_o = -gd * n
+    d_d = -gd * t[:, None] * n
+    d_an = g / denom
+    d_nv = gd * (-o - t[:, None] * d)
+    d_row = jnp.zeros_like(row)
+    d_row = d_row.at[:, 0:3].set(d_nv).at[:, 3].set(d_an)
+    d_pack = jnp.zeros_like(pack).at[tri_idx].add(
+        jnp.where(found[:, None], d_row, 0.0))
+    f0 = jax.dtypes.float0
+    z_tri = np.zeros(tri_idx.shape, f0)
+    z_found = np.zeros(found.shape, f0)
+    return d_o, d_d, d_pack, z_tri, z_found, jnp.zeros_like(t)
+
+
+selected_t.defvjp(_selected_t_fwd, _selected_t_bwd)
 
 
 def instance_mask(sa, for_shadow: bool, allow_reflection_only: bool):
@@ -81,7 +223,10 @@ def _sphere_solid(sa, for_shadow: bool):
 def _sorted_mesh_trace(sa, static, prep, o, d, alive, t_max, tri_ok, cl_ok,
                        accel_boxes, accel_impl, accel_block, accel_gather,
                        block_n, pallas_interpret, for_shadow):
-    """Coherence-sort rays, run the accelerated mesh trace, scatter back."""
+    """Coherence-sort rays, run the accelerated mesh trace, scatter back.
+
+    Returns (found, tri, t) in the caller's ray order; t is the traversal's
+    selected winner distance (stop-gradient — see :func:`selected_t`)."""
     from .block_trace import (DEAD_ORIGIN, coherence_key, trace_tris_blocks)
     from .cluster_trace import select_closest_clusters
 
@@ -101,7 +246,7 @@ def _sorted_mesh_trace(sa, static, prep, o, d, alive, t_max, tri_ok, cl_ok,
     tmax_s = None if t_max is None else t_max[perm]
 
     if accel_impl == "pallas":
-        found_s, tri_s = trace_tris_blocks(
+        found_s, tri_s, t_s = trace_tris_blocks(
             o_s, d_s, alive_s, tmax_s, prep, w_lo, w_hi, cl_ok,
             static.cluster_size, block_n=block_n,
             mode="any" if for_shadow else "closest",
@@ -109,10 +254,10 @@ def _sorted_mesh_trace(sa, static, prep, o, d, alive, t_max, tri_ok, cl_ok,
     else:
         o_t = jnp.where(alive_s[:, None], o_s, DEAD_ORIGIN)
         d_t = jnp.where(alive_s[:, None], d_s, 1.0)
-        found_s, tri_s = select_closest_clusters(
+        found_s, tri_s, t_s = select_closest_clusters(
             o_t, d_t, prep, tri_ok, w_lo, w_hi, cl_ok,
             static.cluster_size, accel_block, accel_gather, t_max=tmax_s)
-    return found_s[inv], tri_s[inv]
+    return found_s[inv], tri_s[inv], t_s[inv]
 
 
 def trace_closest(sa, static, prep: TrianglePrep, o, d,
@@ -149,26 +294,34 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
     if static.has_mesh:
         tri_ok = sa.tri_valid & inst_ok[sa.tri_inst]
         if accel_boxes is not None:
-            from .cluster_trace import recompute_t
             cl_ok = sa.cl_valid & inst_ok[sa.cl_inst]
             alive_f = alive if alive is not None else jnp.ones((n,), bool)
             # deep wavefront levels are often entirely dead (no live
             # reflection/refraction children); skip the traversal outright
-            found, tri_idx = jax.lax.cond(
+            found, tri_idx, t_sel = jax.lax.cond(
                 jnp.any(alive_f),
                 lambda: _sorted_mesh_trace(
                     sa, static, prep, o, d, alive_f, t_max, tri_ok, cl_ok,
                     accel_boxes, accel_impl, accel_block, accel_gather,
                     block_n, pallas_interpret, for_shadow),
-                lambda: (jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32)))
-            t_tri = recompute_t(o, d, prep, tri_idx, found)
+                lambda: (jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32),
+                         jnp.full((n,), INF)))
+            if prep.shade_pack is not None:
+                t_tri = selected_t(o, d, prep.shade_pack, tri_idx, found,
+                                   t_sel)
+            else:
+                from .cluster_trace import recompute_t
+                t_tri = recompute_t(o, d, prep, tri_idx, found)
+            better = t_tri < best_t
+            # mesh instance resolution deferred to hit_attributes (one
+            # packed gather there instead of a tri_inst gather here)
         else:
             t_tri, tri_idx = closest_tri(o, d, prep, tri_ok, tri_tile)
             if t_max is not None:
                 t_tri = jnp.where(t_tri <= t_max, t_tri, INF)
-        better = t_tri < best_t
+            better = t_tri < best_t
+            best_inst = jnp.where(better, sa.tri_inst[tri_idx], best_inst)
         best_t = jnp.where(better, t_tri, best_t)
-        best_inst = jnp.where(better, sa.tri_inst[tri_idx], best_inst)
         best_tri = jnp.where(better, tri_idx, best_tri)
         best_is_mesh = better
 
@@ -196,8 +349,8 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
                inst=best_inst, tri=best_tri)
 
 
-def hit_attributes(sa, static, prep: TrianglePrep, wvn, o, d, hit: Hit) -> HitAttrs:
-    """Shading normal + UV + material for winning hits.
+def hit_attributes(sa, static, prep: TrianglePrep, o, d, hit: Hit) -> HitAttrs:
+    """Shading normal + UV + material (+ packed material rows) for winners.
 
     Normal semantics replicate the reference exactly:
     - sphere: parry ball normal transformed by the *model matrix*
@@ -212,6 +365,11 @@ def hit_attributes(sa, static, prep: TrianglePrep, wvn, o, d, hit: Hit) -> HitAt
     UV replicates ``get_uv`` (v negated; spherical for spheres,
     src/shape/sphere.rs:69-99; barycentric for meshes with (0,0) fallback
     when UV topology is missing, src/shape/mesh.rs:105-161).
+
+    All per-triangle data comes from two packed-row gathers
+    (prep.shade_pack / prep.corner_pack — required; build with
+    :func:`build_shade_packs`); per-material data from two packed-row
+    gathers of :func:`build_mat_packs` tables, returned for reuse.
     """
     n_rays = o.shape[0]
     # INF miss distances must not enter any differentiable expression: a
@@ -220,60 +378,69 @@ def hit_attributes(sa, static, prep: TrianglePrep, wvn, o, d, hit: Hit) -> HitAt
     # backward pass even though forward values are where-masked.
     t_safe = jnp.where(hit.hit, hit.t, 0.0)
     point = o + t_safe[:, None] * d
-    mat = sa.inst_mat[hit.inst]
-    obj_id = sa.inst_obj_id[hit.inst]
 
     normal = jnp.zeros((n_rays, 3))
     uv = jnp.zeros((n_rays, 2))
+    inst = hit.inst
 
     if static.has_mesh:
         tri = hit.tri
-        u, v, d_n = tri_barycentrics(o, d, t_safe, tri, prep)
+        row = prep.shade_pack[tri]                      # (N, 16) gather 1
+        crow = prep.corner_pack[tri]                    # (N, 16) gather 2
+        mesh_inst = row[:, 15].astype(jnp.int32)
+        inst = jnp.where(hit.is_mesh, mesh_inst, inst)
+
+    mat = jnp.where(hit.hit, sa.inst_mat[inst], 0)
+    obj_id = jnp.where(hit.hit, sa.inst_obj_id[inst], 0)
+    mat_pack_f, mat_pack_i = build_mat_packs(sa.materials)
+    mat_f = mat_pack_f[mat]                             # (N, 16) gather 3
+    mat_i = mat_pack_i[mat]                             # (N, 32) gather 4
+
+    if static.has_mesh:
+        g1, c1 = row[:, 4:7], row[:, 7]
+        g2, c2 = row[:, 8:11], row[:, 11]
+        u = dot(point, g1) + c1
+        v = dot(point, g2) + c2
         w0 = 1.0 - u - v
-        backface = (d_n * prep.backface_sign[tri]) > 0.0
+        # d·(n·bsign) > 0 — sign-folded, bit-identical to the reference's
+        # object-space backface test (±1 multiplies are exact)
+        backface = dot(d, row[:, 0:3]) > 0.0
         orient = jnp.where(backface, -1.0, 1.0)
 
-        flat_n = prep.flat_n[tri] * orient[:, None]
+        flat_n = row[:, 12:15] * orient[:, None]
 
-        n_idx = sa.tri_n_idx[tri]                       # (N, 3)
-        has_n = n_idx[:, 0] >= 0
-        safe_idx = jnp.maximum(n_idx, 0)
-        n_interp = (w0[:, None] * wvn[safe_idx[:, 0]]
-                    + u[:, None] * wvn[safe_idx[:, 1]]
-                    + v[:, None] * wvn[safe_idx[:, 2]])
+        has_n = crow[:, 9] > 0.5
+        n_interp = (w0[:, None] * crow[:, 0:3]
+                    + u[:, None] * crow[:, 3:6]
+                    + v[:, None] * crow[:, 6:9])
         smooth_n = safe_normalize(n_interp) * orient[:, None]
 
-        use_smooth = sa.materials.smooth_shading[mat] & has_n
-        mesh_n = jnp.where(use_smooth[:, None], smooth_n, flat_n)
-        mesh_n = jnp.where(sa.inst_flip[hit.inst][:, None], -mesh_n, mesh_n)
+        uv_interp = (w0[:, None] * crow[:, 10:12]
+                     + u[:, None] * crow[:, 12:14]
+                     + v[:, None] * crow[:, 14:16])
+        mesh_uv = jnp.stack([uv_interp[:, 0], -uv_interp[:, 1]], -1)
 
-        uv_idx = sa.tri_uv_idx[tri]
-        has_uv = uv_idx[:, 0] >= 0
-        safe_uv = jnp.maximum(uv_idx, 0)
-        uv_interp = (w0[:, None] * sa.uvs[safe_uv[:, 0]]
-                     + u[:, None] * sa.uvs[safe_uv[:, 1]]
-                     + v[:, None] * sa.uvs[safe_uv[:, 2]])
-        mesh_uv = jnp.where(has_uv[:, None],
-                            jnp.stack([uv_interp[:, 0], -uv_interp[:, 1]], -1),
-                            0.0)
+        smooth_flag = (mat_i[:, MI_SMOOTH] > 0) & has_n
+        mesh_n = jnp.where(smooth_flag[:, None], smooth_n, flat_n)
+        mesh_n = jnp.where(sa.inst_flip[inst][:, None], -mesh_n, mesh_n)
 
         normal = jnp.where(hit.is_mesh[:, None], mesh_n, normal)
         uv = jnp.where(hit.is_mesh[:, None], mesh_uv, uv)
 
     if static.n_spheres > 0:
-        inv = sa.inst_inv[hit.inst]
-        trans = sa.inst_trans[hit.inst]
+        from ..scene.material import TextureType
+        inv = sa.inst_inv[inst]
+        trans = sa.inst_trans[inst]
         lo = transform_point(inv, o)
         ld = transform_dir(inv, d)
-        radius = sa.inst_radius[hit.inst]
+        radius = sa.inst_radius[inst]
         # recompute inside flag with the same solid rule as the original cast
-        from ..scene.material import TextureType
-        has_alpha_tex = sa.materials.tex_w[mat, int(TextureType.Alpha)] > 0
-        solid = (~((sa.materials.alpha[mat] < 1.0) | has_alpha_tex)
-                 & sa.materials.backface_culling[mat])
+        has_alpha_tex = mat_i[:, MI_TEX_W + int(TextureType.Alpha)] > 0
+        solid = (~((mat_f[:, MF_ALPHA] < 1.0) | has_alpha_tex)
+                 & (mat_i[:, MI_BACKFACE_CULL] > 0))
         _, _, inside = sphere_cast(lo, ld, radius, solid)
         sph_n = sphere_hit_normal(lo, ld, t_safe, inside, trans)
-        sph_n = jnp.where(sa.inst_flip[hit.inst][:, None], -sph_n, sph_n)
+        sph_n = jnp.where(sa.inst_flip[inst][:, None], -sph_n, sph_n)
 
         lp = lo + t_safe[:, None] * ld
         theta = jnp.arctan2(-lp[:, 2], lp[:, 0])
@@ -287,9 +454,8 @@ def hit_attributes(sa, static, prep: TrianglePrep, wvn, o, d, hit: Hit) -> HitAt
         normal = jnp.where(is_sphere[:, None], sph_n, normal)
         uv = jnp.where(is_sphere[:, None], sph_uv, uv)
 
-    mat = jnp.where(hit.hit, mat, 0)
-    obj_id = jnp.where(hit.hit, obj_id, 0)
-    return HitAttrs(normal=normal, uv=uv, mat=mat, obj_id=obj_id, point=point)
+    return HitAttrs(normal=normal, uv=uv, mat=mat, obj_id=obj_id,
+                    point=point, mat_f=mat_f, mat_i=mat_i)
 
 
 def prepare_vertex_normals(sa):

@@ -19,6 +19,13 @@ Sampling replicates the stratified shuffled cell pattern
 (src/raytracing.rs:290-313); AOVs (depth / normal / object id) come from the
 primary level, with the alpha≈0 transmission id override chain
 (src/raytracing.rs:966-969) resolved via per-level "carrier" flags.
+
+Device-cost discipline (round 4, from the committed PERF profile): no
+per-component table gathers (packed rows only — ops/traverse), no scatters
+anywhere in the forward pass (compaction is inverted with a second sort +
+masked gather, ~6x cheaper than the scatter it replaces), and the host
+chunk loop dispatches the whole frame asynchronously before the first
+device→host copy.
 """
 from __future__ import annotations
 
@@ -37,41 +44,45 @@ from ..ops import shade as shade_ops
 from ..ops import texture as tex_ops
 from ..ops.intersect import INF, dot, prepare_triangles, safe_normalize
 from ..ops.cluster_trace import world_cluster_aabbs
-from ..ops.traverse import (hit_attributes, prepare_vertex_normals,
-                            trace_closest)
+from ..ops.traverse import (MF_ALPHA, MF_AMBIENT, MF_BASE, MF_NM_STRENGTH,
+                            MF_REFLECTIVITY, MF_REFR_INDEX, MF_ROUGHNESS,
+                            MF_SHADOW_SOFT, MF_SHININESS, MF_SPEC,
+                            MI_MONTE_CARLO, MI_RECV_SHADOW,
+                            build_shade_packs, hit_attributes,
+                            prepare_vertex_normals, trace_closest)
 from ..scene.material import TextureType
 from ..utils.mathutil import sample_cell_size, sample_pattern
 
 SHADOW_BIAS = shade_ops.SHADOW_BIAS
 
 
-def _item_color(sa, static, mat, tex_type, uv, base):
+def _item_color(sa, static, mat_i, tex_type, uv, rgb):
     """``get_item_color`` (src/raytracing.rs:677-712): material color
     multiplied componentwise (incl. alpha) by the texture if present.
 
-    The atlas gather is skipped entirely when no material in the scene has
-    this channel (static per-channel mask) — gathers on every lane of every
-    level are a top-3 device cost."""
-    rgb = base[mat]
+    ``rgb`` is the material color slice of the packed row; the atlas gather
+    is skipped entirely when no material in the scene has this channel."""
     if not static.tex_channels[int(tex_type)]:
         return rgb, jnp.ones(rgb.shape[:-1], jnp.float32)
-    rgba, has = tex_ops.get_tex_color(sa, mat, int(tex_type), uv)
+    rgba, has = tex_ops.get_tex_color_rows(sa.tex_texels, mat_i,
+                                           int(tex_type), uv, static)
     out = jnp.where(has[..., None], rgb * rgba[..., :3], rgb)
     w = jnp.where(has, rgba[..., 3], 1.0)
     return out, w
 
 
-def _tex_scalar(sa, static, mat, tex_type, uv):
+def _tex_scalar(sa, static, mat_i, tex_type, uv):
     """First texture channel + presence mask; (0, False) when no material
     in the scene has the channel."""
     if not static.tex_channels[int(tex_type)]:
-        z = jnp.zeros(mat.shape, jnp.float32)
-        return z, jnp.zeros(mat.shape, bool)
-    rgba, has = tex_ops.get_tex_color(sa, mat, int(tex_type), uv)
+        z = jnp.zeros(mat_i.shape[:-1], jnp.float32)
+        return z, jnp.zeros(mat_i.shape[:-1], bool)
+    rgba, has = tex_ops.get_tex_color_rows(sa.tex_texels, mat_i,
+                                           int(tex_type), uv, static)
     return rgba[..., 0], has
 
 
-def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
+def _shade_level(sa, static, prep, cfg: RaytracingConfig,
                  o, d, weight, alive, depth, key, boxes=None,
                  engine: EngineConfig = None, accel_impl: str = "xla"):
     """Trace + shade one wavefront level.
@@ -83,14 +94,13 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
                     accel_gather=engine.accel_gather, accel_impl=accel_impl,
                     block_n=engine.pallas_block,
                     pallas_interpret=engine.pallas_interpret)
-    mats = sa.materials
     d = safe_normalize(d)
     allow_ro = depth > 1
     hit = trace_closest(sa, static, prep, o, d, for_shadow=False,
                         allow_reflection_only=allow_ro, alive=alive,
                         **trace_kw)
-    attrs = hit_attributes(sa, static, prep, wvn, o, d, hit)
-    mat = attrs.mat
+    attrs = hit_attributes(sa, static, prep, o, d, hit)
+    mat_f, mat_i = attrs.mat_f, attrs.mat_i
     point = attrs.point
     uv = attrs.uv
     live = alive & hit.hit
@@ -99,7 +109,8 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
 
     # ---- normal mapping (src/raytracing.rs:756-784) ----
     if static.has_normal_tex:
-        ntex, has_nt = tex_ops.get_tex_color(sa, mat, int(TextureType.Normal), uv)
+        ntex, has_nt = tex_ops.get_tex_color_rows(
+            sa.tex_texels, mat_i, int(TextureType.Normal), uv, static)
         up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
         fwd = jnp.array([0.0, 0.0, 1.0], jnp.float32)
         tangent = jnp.cross(surface_normal, up)
@@ -109,7 +120,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
         tangent = safe_normalize(tangent)
         bitangent = safe_normalize(jnp.cross(surface_normal, tangent))
         nm = ntex[..., :3] * 2.0 - 1.0
-        strength = mats.normal_map_strength[mat]
+        strength = mat_f[:, MF_NM_STRENGTH]
         nm = nm * jnp.stack([strength, strength, jnp.ones_like(strength)], -1)
         nm = safe_normalize(nm)
         mapped = safe_normalize(nm[..., 0:1] * tangent + nm[..., 1:2] * bitangent
@@ -117,24 +128,26 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
         surface_normal = jnp.where(has_nt[..., None], mapped, surface_normal)
 
     # ---- roughness monte-carlo jitter (src/raytracing.rs:786-798) ----
+    mc_flag = mat_i[:, MI_MONTE_CARLO] > 0
     if cfg.monte_carlo:
-        rtex, has_rt = _tex_scalar(sa, static, mat, TextureType.Roughness, uv)
-        rough = jnp.where(has_rt, (1.0 / jnp.pi / 2.0) * rtex, mats.roughness[mat])
-        apply = mats.monte_carlo[mat] & ((mats.roughness[mat] > 0.0) | has_rt)
+        rtex, has_rt = _tex_scalar(sa, static, mat_i, TextureType.Roughness, uv)
+        rough = jnp.where(has_rt, (1.0 / jnp.pi / 2.0) * rtex,
+                          mat_f[:, MF_ROUGHNESS])
+        apply = mc_flag & ((mat_f[:, MF_ROUGHNESS] > 0.0) | has_rt)
         k_rough = jax.random.fold_in(key, 17)
         jittered = shade_ops.jitter(k_rough, surface_normal, rough)
         surface_normal = jnp.where(apply[..., None], jittered, surface_normal)
 
     # ---- base / specular / ambient colors ----
-    ambient_rgb, _ = _item_color(sa, static, mat, TextureType.AmbientEmissive,
-                                 uv, mats.ambient_color)
-    base_rgb, base_w = _item_color(sa, static, mat, TextureType.Base, uv,
-                                   mats.base_color)
-    spec_rgb, _ = _item_color(sa, static, mat, TextureType.Specular, uv,
-                              mats.specular_color)
+    ambient_rgb, _ = _item_color(sa, static, mat_i, TextureType.AmbientEmissive,
+                                 uv, mat_f[:, MF_AMBIENT:MF_AMBIENT + 3])
+    base_rgb, base_w = _item_color(sa, static, mat_i, TextureType.Base, uv,
+                                   mat_f[:, MF_BASE:MF_BASE + 3])
+    spec_rgb, _ = _item_color(sa, static, mat_i, TextureType.Specular, uv,
+                              mat_f[:, MF_SPEC:MF_SPEC + 3])
 
-    alpha = mats.alpha[mat] * base_w
-    atex, has_at = _tex_scalar(sa, static, mat, TextureType.Alpha, uv)
+    alpha = mat_f[:, MF_ALPHA] * base_w
+    atex, has_at = _tex_scalar(sa, static, mat_i, TextureType.Alpha, uv)
     alpha = alpha * jnp.where(has_at, atex, 1.0)
 
     # ---- lights (src/raytracing.rs:814-920) ----
@@ -156,7 +169,7 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     # spec_dot == 0 (x^p·ln x → 0·(-inf) = NaN); forward values unchanged
     # (1e-30^p underflows to 0 for any shininess > ~0.25)
     spec_dot = jnp.maximum(dot(reflect_dir, view_dir[:, None]), 1e-30)
-    light_power = jnp.power(spec_dot, mats.shininess[mat][:, None])
+    light_power = jnp.power(spec_dot, mat_f[:, MF_SHININESS][:, None])
     spec_term = spec_rgb[:, None] * light_power[..., None]
 
     ldist = shade_ops.safe_sqrt(jnp.sum(to_light_pt * to_light_pt, axis=-1))  # (N, L)
@@ -175,9 +188,9 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     shadow_dir = dtl
     if cfg.monte_carlo:
         k_sh = jax.random.fold_in(key, 23)
-        soft = mats.shadow_softness[mat][:, None] * jnp.ones((1, L))
+        soft = mat_f[:, MF_SHADOW_SOFT][:, None] * jnp.ones((1, L))
         jit_dir = shade_ops.jitter(k_sh, shadow_dir, soft)
-        shadow_dir = jnp.where(mats.monte_carlo[mat][:, None, None], jit_dir, shadow_dir)
+        shadow_dir = jnp.where(mc_flag[:, None, None], jit_dir, shadow_dir)
     shadow_o = (point + surface_normal * SHADOW_BIAS)[:, None] + 0.0 * shadow_dir
     n_rays = o.shape[0]
     # light-major layout: lanes of one traversal block share a light, so
@@ -204,14 +217,14 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     # at the shadow hit; the reference samples the occluder's texture at a UV
     # computed with the *receiver's* get_uv, an apparent bug.  The fetch only
     # matters when some material actually has an alpha texture.
-    shadow_alpha = mats.alpha[mat][:, None]               # receiver material alpha
+    shadow_alpha = mat_f[:, MF_ALPHA][:, None]            # receiver alpha
     if static.has_alpha_tex:
-        occ_attrs = hit_attributes(sa, static, prep, wvn, sh_o, sh_d, sh_hit)
-        occ_a, occ_has = _tex_scalar(sa, static, occ_attrs.mat, TextureType.Alpha,
-                                     occ_attrs.uv)
+        occ_attrs = hit_attributes(sa, static, prep, sh_o, sh_d, sh_hit)
+        occ_a, occ_has = _tex_scalar(sa, static, occ_attrs.mat_i,
+                                     TextureType.Alpha, occ_attrs.uv)
         shadow_alpha = shadow_alpha * jnp.where(occ_has.reshape(L, n_rays).T,
                                                 occ_a.reshape(L, n_rays).T, 1.0)
-    shadowed = mats.receive_shadow[mat][:, None] & ~in_light
+    shadowed = (mat_i[:, MI_RECV_SHADOW] > 0)[:, None] & ~in_light
     intensity = jnp.where(shadowed, intensity * (1.0 - shadow_alpha), intensity)
 
     enabled = sa.lights.enabled[None]
@@ -221,11 +234,12 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     n_shadow_rays = jnp.sum(sh_alive.astype(jnp.int32))
 
     # ---- fresnel / reflectivity / refraction ----
-    refr_index = mats.refraction_index[mat]
+    refr_index = mat_f[:, MF_REFR_INDEX]
     kr = shade_ops.fresnel(d, surface_normal, refr_index)
 
-    refl_tex, has_reft = _tex_scalar(sa, static, mat, TextureType.Reflectivity, uv)
-    reflectivity = jnp.where(has_reft, refl_tex, mats.reflectivity[mat])
+    refl_tex, has_reft = _tex_scalar(sa, static, mat_i,
+                                     TextureType.Reflectivity, uv)
+    reflectivity = jnp.where(has_reft, refl_tex, mat_f[:, MF_REFLECTIVITY])
 
     local = local * (1.0 - reflectivity[..., None])
 
@@ -245,7 +259,8 @@ def _shade_level(sa, static, prep, wvn, cfg: RaytracingConfig,
     t_safe = jnp.where(hit.hit, hit.t, 0.0)
     fog = jnp.minimum(jnp.float32(cfg.fog_density) * t_safe, 1.0)
     fog_color = jnp.asarray(cfg.fog_color, jnp.float32)
-    ao_tex, has_ao = _tex_scalar(sa, static, mat, TextureType.AmbientOcclusion, uv)
+    ao_tex, has_ao = _tex_scalar(sa, static, mat_i,
+                                 TextureType.AmbientOcclusion, uv)
     ao = jnp.where(has_ao, ao_tex, 1.0)
 
     emission = (ao[..., None]
@@ -307,17 +322,17 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
     use_pallas = engine.use_pallas(static)
     accel_impl = "pallas" if use_pallas else "xla"
 
-    def render_sample(sa, prep, wvn, px, py, valid, cell, key):
+    def render_sample(sa, prep, px, py, valid, cell, key):
         """One AA/MC sample for the pixel chunk.
 
         The Whitted ray tree is evaluated as a forward wavefront sweep
         (levels 1..n_levels, each level = compacted child batch of the
         previous) followed by a *backward contribution fold*: children sit in
         positionally-aligned [reflection; refraction] halves (post-compaction
-        alignment is restored by inverting the compaction permutation), so
-        each level's radiance folds into its parents with gathers and
-        reshape-sums only — no duplicate-index scatters anywhere, which keeps
-        accumulation bit-deterministic and cheap on TPU.
+        alignment is restored by inverting the compaction permutation with a
+        second sort — a gather, never a scatter), so each level's radiance
+        folds into its parents with gathers and reshape-sums only, which
+        keeps accumulation bit-deterministic and cheap on TPU.
         """
         n = px.shape[0]
         cap = int(max(n, round(n * engine.queue_factor)))
@@ -333,12 +348,12 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
         traced = jnp.int32(0)   # live device rays actually traced (all kinds)
 
         aov0 = None
-        levels = []  # per level: contrib, own_id, override, perm (into prev 2N)
+        levels = []  # per level: contrib, own_id, override, child_inv
 
         for depth in range(1, n_levels + 1):
             lkey = jax.random.fold_in(key, depth)
             emission, aov, ch = _shade_level(
-                sa, static, prep, wvn, cfg, o, d, weight, alive, depth, lkey,
+                sa, static, prep, cfg, o, d, weight, alive, depth, lkey,
                 boxes=boxes, engine=engine, accel_impl=accel_impl)
             traced = traced + jnp.sum(alive.astype(jnp.int32)) \
                 + ch["n_shadow_rays"]
@@ -367,14 +382,19 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
                 # default config stays exact)
                 wmax = jnp.max(weight, axis=-1)
                 sort_key = jnp.where(alive_c, -wmax, 1.0)
-                perm = jnp.argsort(sort_key)[:cap]
+                perm_full = jnp.argsort(sort_key)
+                perm = perm_full[:cap]
                 o, d, weight = o[perm], d[perm], weight[perm]
                 alive = alive_c[perm]
                 dropped = dropped + (jnp.sum(alive_c) - jnp.sum(alive))
-                levels[-1]["child_perm"] = perm
+                # rank of each child in the compaction order; rank < cap
+                # means kept at that position — the fold inverts with this
+                # (argsort of a permutation = its inverse), avoiding a
+                # scatter (TPU scatters are ~13x slower than gathers)
+                levels[-1]["child_inv"] = jnp.argsort(perm_full)
             else:
                 alive = alive_c
-                levels[-1]["child_perm"] = None
+                levels[-1]["child_inv"] = None
 
         # ---- backward fold: children radiance → parents ----
         acc = levels[-1]["contrib"]
@@ -382,10 +402,12 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
         for lvl in range(len(levels) - 2, -1, -1):
             parent = levels[lvl]
             n_parent = parent["contrib"].shape[0]
-            perm = parent["child_perm"]
-            if perm is not None:
-                expanded = jnp.zeros((2 * n_parent, 3), acc.dtype).at[perm].set(acc)
-                id_expanded = jnp.zeros((2 * n_parent,), id_acc.dtype).at[perm].set(id_acc)
+            inv = parent["child_inv"]
+            if inv is not None:
+                kept = inv < acc.shape[0]
+                take = jnp.minimum(inv, acc.shape[0] - 1)
+                expanded = jnp.where(kept[:, None], acc[take], 0.0)
+                id_expanded = jnp.where(kept, id_acc[take], 0)
             else:
                 expanded = acc
                 id_expanded = id_acc
@@ -397,6 +419,8 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
         return acc, aov0["depth"], aov0["normal"], id_acc, dropped, traced
 
     def chunk_fn(sa, prep, wvn, px, py, valid, cells, cell_idx, cell_valid, key):
+        if prep.shade_pack is None:
+            prep = build_shade_packs(sa, prep, wvn)
         if use_pallas and prep.pallas_pack is None:
             from ..ops.block_trace import pack_cluster_tris
             prep = prep.replace(pallas_pack=pack_cluster_tris(
@@ -404,7 +428,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
                 out_rows=sa.cl_lo.shape[0]))
         if cells.shape[0] == 1:
             color, depth, normal, obj_id, dropped, traced = render_sample(
-                sa, prep, wvn, px, py, valid, cells[0],
+                sa, prep, px, py, valid, cells[0],
                 jax.random.fold_in(key, cell_idx[0]))
             m = cell_valid[0]
             return (jnp.where(m, color, 0.0), jnp.where(m, depth, 0.0),
@@ -415,7 +439,7 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
             c_sum, d_sum, n_sum, oid_prev, drop_sum, tr_sum = carry
             cell, idx, cv = inp
             color, depth, normal, obj_id, dropped, traced = render_sample(
-                sa, prep, wvn, px, py, valid, cell, jax.random.fold_in(key, idx))
+                sa, prep, px, py, valid, cell, jax.random.fold_in(key, idx))
             return (c_sum + jnp.where(cv, color, 0.0),
                     d_sum + jnp.where(cv, depth, 0.0),
                     n_sum + jnp.where(cv, normal, 0.0),
@@ -445,9 +469,83 @@ def make_chunk_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
     return render_chunk
 
 
+def build_frame_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
+                   n_levels: int, chunk: int, n_chunks: int):
+    """Whole-frame renderer: a device-side ``lax.scan`` over pixel chunks.
+
+    One jitted dispatch per frame instead of one per chunk — through a
+    tunneled TPU each dispatch costs ~0.9 s of host/runtime overhead
+    (measured, tools/walltime_probe.py) while the chunk itself computes in
+    ~0.1 s, so the per-chunk host loop was ~10x off the device time.  The
+    per-chunk RNG keys (fold_in of the chunk start) match the host-loop
+    path bit-exactly, so checkpointed renders resume into identical images.
+
+    Returns f(sa, prep, wvn, cells, cell_idx, cell_valid, key) →
+    (color, depth, normal, obj_id  — (n_pix, …) sample-summed,
+     drops (n_chunks,) int32 per-chunk dropped-ray counts,
+     traced (n_chunks,) int32 per-chunk device-ray counts).
+    """
+    chunk_fn = build_chunk_fn(static, cfg, engine, n_levels)
+    W, H = static.width, static.height
+    n_pix = W * H
+    n_pad = n_chunks * chunk
+    use_pallas = engine.use_pallas(static)
+
+    def frame_fn(sa, prep, wvn, cells, cell_idx, cell_valid, key):
+        # hoist per-frame prep out of the chunk scan (loop-invariant)
+        if prep.shade_pack is None:
+            prep = build_shade_packs(sa, prep, wvn)
+        if use_pallas and prep.pallas_pack is None:
+            from ..ops.block_trace import pack_cluster_tris
+            prep = prep.replace(pallas_pack=pack_cluster_tris(
+                prep, sa.tri_valid, static.n_clusters, static.cluster_size,
+                out_rows=sa.cl_lo.shape[0]))
+
+        def body(carry, start):
+            color, depth, normal, oid = carry
+            idx = start + jnp.arange(chunk, dtype=jnp.int32)
+            valid = idx < n_pix
+            idx_c = jnp.minimum(idx, n_pix - 1)
+            px = idx_c % W
+            py = idx_c // W
+            c, dpt, nrm, o_id, dropped, traced = chunk_fn(
+                sa, prep, wvn, px, py, valid, cells, cell_idx, cell_valid,
+                jax.random.fold_in(key, start))
+            color = jax.lax.dynamic_update_slice(color, c, (start, 0))
+            depth = jax.lax.dynamic_update_slice(depth, dpt, (start,))
+            normal = jax.lax.dynamic_update_slice(normal, nrm, (start, 0))
+            oid = jax.lax.dynamic_update_slice(oid, o_id, (start,))
+            return (color, depth, normal, oid), (dropped, traced)
+
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        init = (jnp.zeros((n_pad, 3)), jnp.zeros((n_pad,)),
+                jnp.zeros((n_pad, 3)), jnp.zeros((n_pad,), jnp.int32))
+        (color, depth, normal, oid), (drops, traced) = jax.lax.scan(
+            body, init, starts)
+        return (color[:n_pix], depth[:n_pix], normal[:n_pix], oid[:n_pix],
+                drops, traced)
+
+    return frame_fn
+
+
+def make_frame_renderer(static, cfg: RaytracingConfig, engine: EngineConfig,
+                        n_levels: int, chunk: int, n_chunks: int):
+    key = _config_key(static, cfg, engine, n_levels) + ("frame", chunk,
+                                                        n_chunks)
+    cached = _RENDERER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    fn = jax.jit(build_frame_fn(static, cfg, engine, n_levels, chunk,
+                                n_chunks))
+    _RENDERER_CACHE[key] = fn
+    return fn
+
+
 @functools.partial(jax.jit, static_argnums=())
 def _prepare(sa):
-    return prepare_triangles(sa), prepare_vertex_normals(sa)
+    prep = prepare_triangles(sa)
+    wvn = prepare_vertex_normals(sa)
+    return build_shade_packs(sa, prep, wvn), wvn
 
 
 def render(sa, static, cfg: RaytracingConfig,
@@ -469,6 +567,11 @@ def render(sa, static, cfg: RaytracingConfig,
 
     ``max_chunks``: render at most this many chunks then return the partial
     frame (progressive rendering / checkpoint tests).
+
+    The chunk loop dispatches every chunk before fetching any result (JAX
+    async dispatch), so host↔device sync gaps never serialize the frame;
+    dropped-ray checks happen at fetch time and only the offending chunks
+    are re-rendered at a raised queue factor.
     """
     engine = engine or EngineConfig()
     W, H = static.width, static.height
@@ -513,8 +616,11 @@ def render(sa, static, cfg: RaytracingConfig,
     # max useful queue factor: the full Whitted tree doubles per bounce
     max_qf = float(min(2 ** max(n_levels - 1, 0), 64))
 
-    # checkpoint identity: anything that changes per-chunk numerics
-    fingerprint = repr((W, H, chunk, cfg, engine, n_levels))
+    # checkpoint identity: anything that changes per-chunk numerics,
+    # including the scene content itself (ADVICE r3: resuming after a scene
+    # edit must not blend stale chunks)
+    fingerprint = repr((W, H, chunk, cfg, engine, n_levels,
+                        _scene_fingerprint(sa, static)))
     cursor = 0
     qf_resume = None
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
@@ -538,51 +644,107 @@ def render(sa, static, cfg: RaytracingConfig,
     if qf_resume is not None and qf_resume != engine.queue_factor:
         eng = dataclasses.replace(engine, queue_factor=qf_resume)
         rend = make_chunk_renderer(static, cfg, eng, n_levels)
-    chunks_done = 0
-    for start in range(cursor, n_pix, chunk):
-        if max_chunks is not None and chunks_done >= max_chunks:
-            break
+
+    def dispatch(start):
         idx = np.arange(start, start + chunk)
         valid = idx < n_pix
         idx_c = np.minimum(idx, n_pix - 1)
         px = jnp.asarray(idx_c % W, jnp.int32)
         py = jnp.asarray(idx_c // W, jnp.int32)
-        while True:
-            c, dpt, nrm, oid, dropped, traced = rend(
-                sa, prep, wvn, px, py, jnp.asarray(valid), cells, cell_idx,
-                cell_valid, jax.random.fold_in(key, start))
-            n_drop = int(dropped)
-            if n_drop == 0 or eng.queue_factor >= max_qf:
-                if n_drop:
-                    print(f"warning: dropped {n_drop} live secondary rays "
-                          f"at queue_factor={eng.queue_factor} (cap "
-                          f"{max_qf}); image may deviate from the full "
-                          f"Whitted tree")
-                break
-            # live children were dropped: the reference always evaluates
-            # the full tree (src/raytracing.rs:938-975) — double the queue
-            # and re-render this chunk
+        out = rend(sa, prep, wvn, px, py, jnp.asarray(valid), cells,
+                   cell_idx, cell_valid, jax.random.fold_in(key, start))
+        return idx, valid, out
+
+    def rerender_chunk(start, n_drop):
+        """Auto-raise the queue factor and re-render one chunk until no
+        live rays drop (the reference always evaluates the full Whitted
+        tree, src/raytracing.rs:938-975).  Returns the final chunk arrays,
+        or None when the factor is already at its cap (keep prior result)."""
+        nonlocal eng, rend
+        result = None
+        while n_drop > 0 and eng.queue_factor < max_qf:
             new_qf = min(eng.queue_factor * 2.0, max_qf)
             print(f"info: {n_drop} live secondary rays beyond "
                   f"queue_factor={eng.queue_factor}; re-rendering chunk "
                   f"with queue_factor={new_qf}")
             eng = dataclasses.replace(eng, queue_factor=new_qf)
             rend = make_chunk_renderer(static, cfg, eng, n_levels)
-        device_rays += int(traced)
-        sel = valid
-        color[idx[sel]] = np.asarray(c)[sel]
-        depth[idx[sel]] = np.asarray(dpt)[sel]
-        normal[idx[sel]] = np.asarray(nrm)[sel]
-        obj_id[idx[sel]] = np.asarray(oid)[sel]
-        chunks_done += 1
-        if checkpoint_path is not None:
-            tmp = checkpoint_path + ".tmp.npz"   # savez keeps exact .npz names
-            np.savez(tmp, fingerprint=fingerprint, color=color, depth=depth,
-                     normal=normal, obj_id=obj_id,
-                     cursor=np.int64(start + chunk),
-                     device_rays=np.int64(device_rays),
-                     queue_factor=np.float64(eng.queue_factor))
-            os.replace(tmp, checkpoint_path)
+            _, _, out = dispatch(start)
+            c, dpt, nrm, oid, dropped, _ = out
+            result = (c, dpt, nrm, oid)
+            n_drop = int(dropped)
+        if n_drop:
+            print(f"warning: dropped {n_drop} live secondary rays "
+                  f"at queue_factor={eng.queue_factor} (cap "
+                  f"{max_qf}); image may deviate from the full "
+                  f"Whitted tree")
+        return result
+
+    use_device_loop = checkpoint_path is None and max_chunks is None
+    if use_device_loop:
+        # fast path: ONE dispatch for the whole frame (a device-side chunk
+        # scan) — per-dispatch host/runtime overhead through a tunneled TPU
+        # is ~0.9 s (tools/walltime_probe.py), so per-chunk dispatch loops
+        # are forbidden on the hot path
+        n_chunks = -(-n_pix // chunk)
+        frame = make_frame_renderer(static, cfg, eng, n_levels, chunk,
+                                    n_chunks)
+        c, dpt, nrm, oid, drops, traced = frame(
+            sa, prep, wvn, cells, cell_idx, cell_valid, key)
+        # np.array (copy): re-rendered chunks are written in place below
+        color = np.array(c)
+        depth = np.array(dpt)
+        normal = np.array(nrm)
+        obj_id = np.array(oid)
+        device_rays = int(np.asarray(traced).sum())
+        # chunks that dropped live rays are re-rendered (rare) at a raised
+        # queue factor via the per-chunk path
+        drops_np = np.asarray(drops)
+        for ci in np.nonzero(drops_np > 0)[0]:
+            start = int(ci) * chunk
+            res = rerender_chunk(start, int(drops_np[ci]))
+            if res is None:
+                continue
+            cc, cd, cn, co = res
+            idx = np.arange(start, start + chunk)
+            sel = idx < n_pix
+            color[idx[sel]] = np.asarray(cc)[sel]
+            depth[idx[sel]] = np.asarray(cd)[sel]
+            normal[idx[sel]] = np.asarray(cn)[sel]
+            obj_id[idx[sel]] = np.asarray(co)[sel]
+        chunks_done = n_chunks
+    else:
+        # checkpointing / progressive path: per-chunk dispatch, all chunks
+        # dispatched before the first fetch (async), results fetched and
+        # checkpointed in order
+        starts = list(range(cursor, n_pix, chunk))
+        if max_chunks is not None:
+            starts = starts[:max_chunks]
+        pending = [dispatch(s) for s in starts]
+
+        chunks_done = 0
+        for i, (idx, valid, out) in enumerate(pending):
+            c, dpt, nrm, oid, dropped, traced = out
+            n_drop = int(dropped)
+            if n_drop:
+                res = rerender_chunk(int(idx[0]), n_drop)
+                if res is not None:
+                    c, dpt, nrm, oid = res
+            device_rays += int(traced)
+            sel = valid
+            color[idx[sel]] = np.asarray(c)[sel]
+            depth[idx[sel]] = np.asarray(dpt)[sel]
+            normal[idx[sel]] = np.asarray(nrm)[sel]
+            obj_id[idx[sel]] = np.asarray(oid)[sel]
+            chunks_done += 1
+            if checkpoint_path is not None:
+                tmp = checkpoint_path + ".tmp.npz"  # savez keeps .npz names
+                np.savez(tmp, fingerprint=fingerprint, color=color,
+                         depth=depth, normal=normal, obj_id=obj_id,
+                         cursor=np.int64(int(idx[0]) + chunk),
+                         device_rays=np.int64(device_rays),
+                         queue_factor=np.float64(eng.queue_factor))
+                os.replace(tmp, checkpoint_path)
 
     finished = cursor + chunks_done * chunk >= n_pix
     if checkpoint_path is not None and finished and os.path.exists(checkpoint_path):
@@ -613,3 +775,18 @@ def render(sa, static, cfg: RaytracingConfig,
         # all samples) — the honest work count behind any Mrays/s claim
         device_rays=device_rays,
     )
+
+
+def _scene_fingerprint(sa, static) -> str:
+    """Cheap scene-content identity for the checkpoint fingerprint: shape
+    census plus coarse content sums of the geometry/material leaves (enough
+    to catch 'same config, edited scene' resumes — ADVICE r3)."""
+    parts = [static.n_instances, static.n_spheres, static.n_tris,
+             static.n_materials, static.n_lights, static.n_clusters]
+    for leaf in (sa.verts, sa.inst_trans, sa.materials.base_color,
+                 sa.materials.alpha, sa.lights.pos, sa.lights.intensity,
+                 sa.camera.view_inv):
+        a = np.asarray(leaf, np.float64)
+        parts.append((a.shape, round(float(a.sum()), 6),
+                      round(float(np.abs(a).sum()), 6)))
+    return repr(parts)

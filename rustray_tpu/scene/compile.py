@@ -127,6 +127,10 @@ class SceneStatic:
     # which TextureType slots any material actually uses — shading skips
     # the atlas gather for absent channels (tuple: hashable for jit keys)
     tex_channels: tuple = (False,) * 8
+    # which filter modes any textured material uses — shading compiles only
+    # the needed sampler (nearest = 1 texel gather, bilinear = 4)
+    any_nearest: bool = False
+    any_bilinear: bool = True
 
 
 def compile_scene(scene: Scene, width: int = 0, height: int = 0,
@@ -360,5 +364,10 @@ def compile_scene(scene: Scene, width: int = 0, height: int = 0,
         has_alpha_tex=any(m.has_texture(TextureType.Alpha) for m in mat_objs),
         tex_channels=tuple(any(m.has_texture(t) for m in mat_objs)
                            for t in TextureType),
+        any_nearest=any(m.has_any_texture() and m.texture_filtering_nearest
+                        for m in mat_objs),
+        any_bilinear=any(m.has_any_texture()
+                         and not m.texture_filtering_nearest
+                         for m in mat_objs),
     )
     return arrays, static

@@ -65,7 +65,7 @@ def test_cluster_walk_matches_dense(accel_scene):
     _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
     for name, o, d, alive in _batches(sa, 1024):
         t_d, i_d = closest_tri(o, d, prep, tri_ok, 1024)
-        f_x, i_x = select_closest_clusters(
+        f_x, i_x, _ = select_closest_clusters(
             o, d, prep, tri_ok, w_lo, w_hi, cl_ok, static.cluster_size,
             block=256, gather=8)
         found_d = np.asarray(t_d) < float(INF)
@@ -82,7 +82,7 @@ def test_cluster_walk_tmax(accel_scene):
     name, o, d, alive = _batches(sa, 512)[0]
     t_d, i_d = closest_tri(o, d, prep, tri_ok, 1024)
     tmax = jnp.full((512,), 4.0)
-    f_x, i_x = select_closest_clusters(
+    f_x, i_x, _ = select_closest_clusters(
         o, d, prep, tri_ok, w_lo, w_hi, cl_ok, static.cluster_size,
         block=256, gather=8, t_max=tmax)
     found_ref = (np.asarray(t_d) < 4.0)
@@ -97,7 +97,7 @@ def test_block_kernel_matches_dense_interpret(accel_scene):
     _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
     for name, o, d, alive in _batches(sa, 1024):
         t_d, i_d = closest_tri(o, d, prep, tri_ok, 1024)
-        f_p, i_p = trace_tris_blocks(
+        f_p, i_p, _ = trace_tris_blocks(
             o, d, alive, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
             block_n=256, interpret=True)
         found_d = (np.asarray(t_d) < float(INF)) & np.asarray(alive)
@@ -119,10 +119,10 @@ def test_block_kernel_sorted_matches_unsorted(accel_scene):
     perm = jnp.argsort(key)
     inv = jnp.zeros((1024,), jnp.int32).at[perm].set(
         jnp.arange(1024, dtype=jnp.int32))
-    f_u, i_u = trace_tris_blocks(
+    f_u, i_u, _ = trace_tris_blocks(
         o, d, alive, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
         block_n=256, interpret=True)
-    f_s, i_s = trace_tris_blocks(
+    f_s, i_s, _ = trace_tris_blocks(
         o[perm], d[perm], alive[perm], None, prep, w_lo, w_hi, cl_ok,
         static.cluster_size, block_n=256, interpret=True)
     f_s, i_s = np.asarray(f_s)[np.asarray(inv)], np.asarray(i_s)[np.asarray(inv)]
@@ -140,7 +140,7 @@ def test_block_kernel_tmax_and_anyhit(accel_scene):
     t_d, _ = closest_tri(o, d, prep, tri_ok, 1024)
     tmax = jnp.full((512,), 4.0)
     # closest mode with t_max: found iff dense-closest within the cap
-    f_c, i_c = trace_tris_blocks(
+    f_c, i_c, _ = trace_tris_blocks(
         o, d, None, tmax, prep, w_lo, w_hi, cl_ok, static.cluster_size,
         block_n=256, mode="closest", interpret=True)
     found_ref = np.asarray(t_d) < 4.0
@@ -149,7 +149,7 @@ def test_block_kernel_tmax_and_anyhit(accel_scene):
     assert (t_c[np.asarray(f_c)] <= 4.0 + 1e-4).all()
     # any-hit mode: the found mask must agree (occlusion boolean is exact);
     # the winning occluder may legitimately differ (first vs closest hit)
-    f_a, i_a = trace_tris_blocks(
+    f_a, i_a, _ = trace_tris_blocks(
         o, d, None, tmax, prep, w_lo, w_hi, cl_ok, static.cluster_size,
         block_n=256, mode="any", interpret=True)
     assert (np.asarray(f_a) == found_ref).mean() >= 0.999
@@ -161,7 +161,7 @@ def test_block_kernel_dead_blocks(accel_scene):
     _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
     name, o, d, _ = _batches(sa, 256)[0]
     dead = jnp.zeros((256,), bool)
-    f0, i0 = trace_tris_blocks(
+    f0, i0, _ = trace_tris_blocks(
         o, d, dead, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
         block_n=256, interpret=True)
     assert not np.asarray(f0).any()
@@ -185,3 +185,33 @@ def test_render_with_accel_matches_dense(accel_scene):
                           rtol=2e-3, atol=2e-3).mean()
         assert frac >= 0.995, frac
         assert (out["object_id"] == base["object_id"]).mean() >= 0.995
+
+
+def test_selected_t_gradients_match_recompute(accel_scene):
+    """selected_t must be forward-identical to the traversal's t and
+    backward-identical to differentiating the analytic recompute_t."""
+    from rustray_tpu.ops.cluster_trace import recompute_t
+    from rustray_tpu.ops.traverse import build_shade_packs, selected_t
+    from rustray_tpu.ops.traverse import prepare_vertex_normals
+
+    _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
+    prep2 = build_shade_packs(sa, prep, prepare_vertex_normals(sa))
+    name, o, d, alive = _batches(sa, 512)[0]
+    found, tri_idx, t_sel = select_closest_clusters(
+        o, d, prep, tri_ok, w_lo, w_hi, cl_ok, static.cluster_size,
+        block=256, gather=8)
+
+    def f_fast(o, d):
+        return jnp.sum(jnp.where(found, selected_t(
+            o, d, prep2.shade_pack, tri_idx, found, t_sel), 0.0))
+
+    def f_ref(o, d):
+        return jnp.sum(jnp.where(found, recompute_t(
+            o, d, prep, tri_idx, found), 0.0))
+
+    v_fast, g_fast = jax.value_and_grad(f_fast, argnums=(0, 1))(o, d)
+    v_ref, g_ref = jax.value_and_grad(f_ref, argnums=(0, 1))(o, d)
+    np.testing.assert_allclose(float(v_fast), float(v_ref), rtol=1e-5)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -9,7 +9,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 
 def _free_port():
@@ -20,7 +19,6 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(600)
 def test_two_process_distributed_matches_single(tmp_path):
     port = _free_port()
     out = str(tmp_path / "proc0.npz")

@@ -81,9 +81,9 @@ def main(grid=3, n=4096, block_n=512, seed=0):
         o, d, alive = batch(kind)
         t_d, i_d = jax.device_get(run_dense(o, d))
         print(f"  {kind}: dense done", flush=True)
-        f_x, i_x = jax.device_get(run_xla(o, d))
+        f_x, i_x, _ = jax.device_get(run_xla(o, d))
         print(f"  {kind}: xla done", flush=True)
-        f_p, i_p = jax.device_get(run_pallas(o, d, alive))
+        f_p, i_p, _ = jax.device_get(run_pallas(o, d, alive))
         print(f"  {kind}: pallas done", flush=True)
         found_d = t_d < np.float32(INF)
         live = np.asarray(alive)
