@@ -60,8 +60,13 @@ def main():
     cfg.samples = samples
 
     # 98304-pixel chunks measured best: per-call fixed costs (prologue,
-    # dispatch, sorts) amortize over more rays while VMEM/HBM stay in budget
-    engine = EngineConfig(queue_factor=2.0,
+    # dispatch, sorts) amortize over more rays while VMEM/HBM stay in budget.
+    # queue_factor 1.0: every wavefront level runs at chunk width — the
+    # bench scene's live child counts never exceed it (measured ~34% at the
+    # deepest live level), and render() auto-raises + re-renders if a scene
+    # ever drops rays, so this is a pure 2x lane-count saving, not an
+    # accuracy trade.
+    engine = EngineConfig(queue_factor=float(os.environ.get("BENCH_QF", 1.0)),
                           chunk_pixels=98304 if not small else 16384)
     if chunk_env:
         engine.chunk_pixels = chunk_env

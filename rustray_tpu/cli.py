@@ -26,7 +26,7 @@ RES_RE = re.compile(r"^\d+x\d+$")
 def parse_args(argv):
     opts = dict(window=True, scenes=[], animation=True, width=0, height=0,
                 monte_carlo=None, samples=None, start=False, out="data/output",
-                chunk=None, seed=0)
+                chunk=None, seed=0, preview=0)
     for arg in argv:
         if arg == "cmd":
             opts["window"] = False
@@ -50,6 +50,11 @@ def parse_args(argv):
             opts["chunk"] = int(arg.split("=", 1)[1])
         elif arg.startswith("seed="):
             opts["seed"] = int(arg.split("=", 1)[1])
+        elif arg.startswith("preview="):
+            # preview=1 writes the partial frame PNG after every chunk
+            # (preview=N: every N chunks) — the minimal equivalent of the
+            # reference GUI's live view (src/run.rs:677-1714)
+            opts["preview"] = int(arg.split("=", 1)[1])
     return opts
 
 
@@ -64,7 +69,7 @@ def main(argv=None):
               "running headless (pass 'cmd' to silence this)")
     runner = RenderSession(opts["width"], opts["height"], opts["scenes"],
                            animate=opts["animation"], out_dir=opts["out"],
-                           engine=engine)
+                           engine=engine, preview=opts["preview"])
     runner.init()
     # cmd overrides applied onto the scene config (src/main.rs:79-83)
     if opts["monte_carlo"] is not None:

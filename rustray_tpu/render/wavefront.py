@@ -548,9 +548,28 @@ def _prepare(sa):
     return build_shade_packs(sa, prep, wvn), wvn
 
 
+def frame_levels(sa, cfg: RaytracingConfig) -> int:
+    """Number of wavefront levels: 1 + max_recursion when any material can
+    spawn reflection/refraction children, else 1 (single shared definition —
+    the sharded path must agree with render(), VERDICT r3)."""
+    mats = sa.materials
+    has_secondary = bool(
+        np.any(np.asarray(mats.reflectivity) > 0.0)
+        or np.any(np.asarray(mats.alpha) < 1.0)
+        or np.any(np.asarray(mats.tex_w[:, int(TextureType.Reflectivity)]) > 0)
+        or np.any(np.asarray(mats.tex_w[:, int(TextureType.Alpha)]) > 0))
+    return (1 + cfg.max_recursion) if has_secondary else 1
+
+
+def max_queue_factor(n_levels: int) -> float:
+    """Cap for the drop auto-raise: the Whitted tree doubles per bounce."""
+    return float(min(2 ** max(n_levels - 1, 0), 64))
+
+
 def render(sa, static, cfg: RaytracingConfig,
            engine: EngineConfig = None, checkpoint_path: str = None,
-           max_chunks: int = None) -> Dict[str, np.ndarray]:
+           max_chunks: int = None, preview_path: str = None,
+           preview_every: int = 1) -> Dict[str, np.ndarray]:
     """Render the full frame.  Returns numpy AOVs:
 
     - ``image``: (H, W, 3) uint8 (clamped, optionally gamma-encoded,
@@ -568,6 +587,11 @@ def render(sa, static, cfg: RaytracingConfig,
     ``max_chunks``: render at most this many chunks then return the partial
     frame (progressive rendering / checkpoint tests).
 
+    ``preview_path``: write the partial frame as a PNG after every
+    ``preview_every``-th chunk (atomic replace) — the minimal equivalent of
+    the reference GUI's live view (src/run.rs:677-1714); forces the
+    per-chunk dispatch path.
+
     The chunk loop dispatches every chunk before fetching any result (JAX
     async dispatch), so host↔device sync gaps never serialize the frame;
     dropped-ray checks happen at fetch time and only the offending chunks
@@ -582,13 +606,7 @@ def render(sa, static, cfg: RaytracingConfig,
     # (expensive through a tunneled TPU)
     sa = jax.device_put(sa)
 
-    mats = sa.materials
-    has_secondary = bool(
-        np.any(np.asarray(mats.reflectivity) > 0.0)
-        or np.any(np.asarray(mats.alpha) < 1.0)
-        or np.any(np.asarray(mats.tex_w[:, int(TextureType.Reflectivity)]) > 0)
-        or np.any(np.asarray(mats.tex_w[:, int(TextureType.Alpha)]) > 0))
-    n_levels = (1 + cfg.max_recursion) if has_secondary else 1
+    n_levels = frame_levels(sa, cfg)
 
     chunk = min(engine.chunk_pixels, n_pix)
     renderer = make_chunk_renderer(static, cfg, engine, n_levels)
@@ -614,7 +632,7 @@ def render(sa, static, cfg: RaytracingConfig,
     device_rays = 0
 
     # max useful queue factor: the full Whitted tree doubles per bounce
-    max_qf = float(min(2 ** max(n_levels - 1, 0), 64))
+    max_qf = max_queue_factor(n_levels)
 
     # checkpoint identity: anything that changes per-chunk numerics,
     # including the scene content itself (ADVICE r3: resuming after a scene
@@ -680,7 +698,8 @@ def render(sa, static, cfg: RaytracingConfig,
                   f"Whitted tree")
         return result
 
-    use_device_loop = checkpoint_path is None and max_chunks is None
+    use_device_loop = (checkpoint_path is None and max_chunks is None
+                       and preview_path is None)
     if use_device_loop:
         # fast path: ONE dispatch for the whole frame (a device-side chunk
         # scan) — per-dispatch host/runtime overhead through a tunneled TPU
@@ -737,6 +756,10 @@ def render(sa, static, cfg: RaytracingConfig,
             normal[idx[sel]] = np.asarray(nrm)[sel]
             obj_id[idx[sel]] = np.asarray(oid)[sel]
             chunks_done += 1
+            if preview_path is not None and (
+                    chunks_done % preview_every == 0
+                    or int(idx[0]) + chunk >= n_pix):
+                _write_preview(preview_path, color, cfg, W, H)
             if checkpoint_path is not None:
                 tmp = checkpoint_path + ".tmp.npz"  # savez keeps .npz names
                 np.savez(tmp, fingerprint=fingerprint, color=color,
@@ -775,6 +798,18 @@ def render(sa, static, cfg: RaytracingConfig,
         # all samples) — the honest work count behind any Mrays/s claim
         device_rays=device_rays,
     )
+
+
+def _write_preview(path, color_sum, cfg, W, H):
+    """Partial-frame PNG from the running accumulators (progressive view)."""
+    from PIL import Image
+    c = np.minimum(color_sum * (1.0 / cfg.samples), 1.0)
+    if cfg.gamma_correction:
+        c = np.power(np.maximum(c, 0.0), 1.0 / 2.2)
+    img = np.trunc(c * 255.0).astype(np.uint8).reshape(H, W, 3)
+    tmp = path + ".tmp.png"
+    Image.fromarray(img).save(tmp)
+    os.replace(tmp, path)
 
 
 def _scene_fingerprint(sa, static) -> str:

@@ -43,13 +43,14 @@ class Stats:  # src/run.rs:45-95
 class RenderSession:
     def __init__(self, width: int, height: int, scenes: List[str],
                  animate: bool = True, out_dir: str = IMAGE_PATH,
-                 engine: Optional[EngineConfig] = None):
+                 engine: Optional[EngineConfig] = None, preview: int = 0):
         self.width = width or DEFAULT_RES[0]
         self.height = height or DEFAULT_RES[1]
         self.scenes_list = scenes
         self.animate = animate
         self.out_dir = out_dir
         self.engine = engine or EngineConfig()
+        self.preview = preview
         self.scene = Scene()
         self.stats = Stats()
         self.result = None
@@ -82,7 +83,13 @@ class RenderSession:
         sa, static = self.scene.compile(self.width, self.height)
         cfg = self.scene.raytracing_config
         t0 = time.time()
-        self.result = render(sa, static, cfg, self.engine)
+        preview_path = None
+        if self.preview:
+            os.makedirs(self.out_dir, exist_ok=True)
+            preview_path = os.path.join(self.out_dir, "preview.png")
+        self.result = render(sa, static, cfg, self.engine,
+                             preview_path=preview_path,
+                             preview_every=max(1, self.preview))
         elapsed = time.time() - t0
         self.stats.last_render_seconds = elapsed
         n_rays = self.width * self.height * cfg.samples

@@ -149,3 +149,96 @@ def test_mid_resolution_parity(reference_scenes):
     scene = _setup(reference_scenes, "spheres.json", 160, 120,
                    max_recursion=2)
     _compare(scene, 160, 120)
+
+
+def test_monte_carlo_statistical_parity():
+    """Device Monte-Carlo path (roughness normal jitter + soft shadows,
+    render/wavefront.py monte_carlo branches) vs the oracle's MC path, each
+    with its own RNG (VERDICT r3 item 5).  Bit parity is impossible by
+    design (the reference uses thread_rng, src/raytracing.rs:565-626); at
+    N samples the per-pixel means must agree within CLT-scale bounds."""
+    from rustray_tpu.scene.light import LightType
+    from rustray_tpu.scene.material import Material
+    from rustray_tpu.scene.scene import Scene
+    from rustray_tpu.scene.shapes import Mesh, Sphere
+
+    scene = Scene()
+    floor_m = Material(id=scene.get_next_id(), name="glossy_floor")
+    floor_m.base_color = np.array([0.6, 0.6, 0.65], np.float32)
+    floor_m.specular_color = np.array([0.8, 0.8, 0.8], np.float32)
+    floor_m.reflectivity = 0.35
+    floor_m.roughness = 0.12
+    floor_m.shadow_softness = 0.06
+    floor_m.monte_carlo = True
+    floor = Mesh.new_plane("floor", floor_m,
+                           (-6.0, -1.0, -10.0), (6.0, -1.0, -10.0),
+                           (6.0, -1.0, 2.0), (-6.0, -1.0, 2.0))
+    floor.basic.id = scene.get_next_id()
+    scene.items.append(floor)
+    scene.materials.append(floor_m)
+
+    ball_m = Material(id=scene.get_next_id(), name="ball")
+    ball_m.base_color = np.array([0.8, 0.3, 0.2], np.float32)
+    ball = Sphere("ball", ball_m, 0.0, 0.2, -4.0, 1.0)
+    ball.basic.id = scene.get_next_id()
+    scene.items.append(ball)
+    scene.materials.append(ball_m)
+
+    scene.add_light("key", (2.5, 4.0, -1.0), (0, -1, 0), (1, 1, 1), 250.0,
+                    np.pi / 2, LightType.Point)
+    scene.cam.init(24, 18)
+    cfg = scene.raytracing_config
+    cfg.monte_carlo = True
+    cfg.samples = 48
+    cfg.max_recursion = 2
+    scene.init()
+    scene.update()
+    sa, static = scene.compile()
+
+    out = rt.render(sa, static, cfg, rt.EngineConfig(queue_factor=4.0))
+    orc = Oracle(scene, 24, 18).render_image()
+
+    # the MC estimators share the scene but not the RNG: per-pixel means at
+    # 48 spp must be close, and the image means must nearly coincide
+    err = np.abs(out["color"].astype(np.float64) - orc["color"])
+    assert (err.max(axis=-1) <= 0.08).mean() >= 0.96, err.max()
+    assert abs(out["color"].mean() - orc["color"].mean()) < 0.015
+    # the jitter must actually be EXERCISED: a non-MC render of the same
+    # scene must differ measurably from the MC one
+    cfg2 = scene.raytracing_config.copy()
+    cfg2.monte_carlo = False
+    flat = rt.render(sa, static, cfg2, rt.EngineConfig(queue_factor=4.0))
+    assert np.abs(flat["color"] - out["color"]).max() > 5e-3
+
+
+def test_golden_image_vs_reference_render(reference_scenes):
+    """Structural agreement with the ACTUAL reference renderer's committed
+    output (VERDICT r3 item 7): room-no-textures + spheres vs
+    data/renderings/output_2022-5-16_21-24-33_00000000.png.  The reference
+    render is 128-spp thread_rng monte-carlo at 1280x720; ours is low-spp
+    with a different RNG, so the assertion is windowed SSIM + mean-luma on
+    the downscaled golden, not pixel equality (tools/golden_check.py runs
+    the same check at higher fidelity on the TPU)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from PIL import Image
+    from tools.golden_check import GOLDEN, SCENES, _downscale, ssim
+
+    W, H = 160, 90
+    scene = rt.Scene()
+    for p in SCENES:
+        scene.load(p)
+    scene.cam.init(W, H)
+    scene.raytracing_config.samples = 2
+    scene.raytracing_config.monte_carlo = True
+    scene.init()
+    scene.update()
+    sa, static = scene.compile()
+    out = rt.render(sa, static, scene.raytracing_config, rt.EngineConfig())
+    gold = np.asarray(Image.open(GOLDEN).convert("RGB"), np.float64) / 255.0
+    gold_s = _downscale(gold, W, H)
+    luma = lambda x: x @ np.array([0.299, 0.587, 0.114])
+    s = ssim(luma(out["color"].astype(np.float64)), luma(gold_s))
+    dm = abs(luma(out["color"].astype(np.float64)).mean() - luma(gold_s).mean())
+    assert s >= 0.45, s      # structural agreement (lower res -> looser)
+    assert dm <= 0.1, dm
