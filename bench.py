@@ -119,6 +119,13 @@ def main():
             "tris": int(static.n_tris),
             "clusters": int(static.n_clusters),
             "scene": "gltf-loaded sponza-class (data/bench)",
+            "scene_note": ("procedurally generated stand-in for sponza "
+                           "(the real GLB is download-at-load and this "
+                           "environment is airgapped): 250k tris, 37 "
+                           "textured PBR meshes via the real GLB parser; "
+                           "its cluster statistics are more uniform than "
+                           "real sponza's skewed geometry, so traversal "
+                           "costs may differ on the real asset"),
             "seconds_per_frame": round(elapsed, 3),
             "device_rays_traced": device_rays,
             "device_mrays_per_sec": round(dev_mrays, 3),

@@ -18,22 +18,26 @@ scene BVH /root/reference/src/scene.rs:1715-1722 and parry3d's per-mesh BVH,
     that).
 3.  The kernel runs one grid step per ray block (rays stay resident in
     VMEM).  It DMAs the block's list into SMEM, then walks it front-to-back
-    with double-buffered HBM->VMEM DMAs of each cluster's contiguous
-    ``(16, K)`` triangle-constant slab, intersecting the whole block against
-    the slab in one fused VPU pass (Baldwin-Weber constants, identical
-    operation order to ops/intersect.intersect_tri_tile).  The walk early-
-    exits once every live ray is resolved: a visit runs only while the next
-    cluster's entry distance can still beat some ray's ``min(best_t,
-    t_max)`` — the vector analogue of the reference's sorted-candidate
-    early-exit (src/raytracing.rs:466-489).
+    intersecting the whole block against each cluster's contiguous
+    ``(16, K)`` triangle-constant slab in one fused VPU pass (Baldwin-Weber
+    constants, identical operation order to
+    ops/intersect.intersect_tri_tile).  Two slab sources:
+    - **VMEM-resident** (production for packs <= _VMEM_PACK_BUDGET): the
+      whole (C, 16, K) pack lives in VMEM for the entire grid — a visit is
+      a plain dynamic read, no DMAs/semaphores (PERF_r04 step 5);
+    - double-buffered HBM->VMEM DMA streaming for larger scenes.
+    The walk TERMINATES (while_loop) at the first cluster whose entry
+    distance exceeds every lane's ``min(best_t, t_max)`` — the vector
+    analogue of the reference's sorted-candidate early-exit
+    (src/raytracing.rs:466-489).
 4.  ``mode="any"`` freezes a lane at its first confirmed hit and stops the
     block once every live lane is occluded — the reference's
     ``stop_on_first_hit`` shadow semantics (src/raytracing.rs:483-487).
 
-Selection only: inputs are stop_gradient'ed and only integer winners (plus
-the found mask) leave; callers recompute the winner's ray parameter
-differentiably (ops/cluster_trace.recompute_t), so gradients flow through
-exactly one triangle per ray.
+Selection only: inputs are stop_gradient'ed and only integer winners, the
+found mask and the winner's (stop-gradient) ray parameter leave; callers
+route gradients through ops/traverse.selected_t, whose backward
+differentiates the analytic t through exactly one triangle per ray.
 
 Tie semantics: within a slab the lowest triangle index wins (same as the
 dense path); across clusters the nearer-entry cluster wins exact-t ties —
@@ -273,12 +277,22 @@ def _make_kernel_vmem(block_n: int, K: int, cpad: int, mode: str):
 
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (block_n, K), 1)
 
-        def body(jg, jp):
-            # jp = groups processed; the walk is "done" once jp < jg.  A
-            # group runs only while its first (= nearest, lists are
-            # front-to-back) entry distance can still beat some lane's need.
-            go = (jg == jp) & (ent_sm[0, jnp.minimum(jg * G, cpad - 1)]
-                               <= need_sm[0, 0])
+        # early-TERMINATING walk: lists are front-to-back, so the first
+        # group whose entry distance exceeds every lane's need ends the
+        # block — a while_loop, not a fori_loop over the whole list (60-75%
+        # of list entries at secondary levels lie past the exit point and a
+        # dead fori iteration still pays its scalar check, PERF_r04).  The
+        # loop condition reads only CARRIED values (the tunnel once hung on
+        # a while-cond reading DMA'd SMEM — .claude/skills/verify).
+        def cond(state):
+            jg, stop = state
+            return (jg < ng) & (stop == 0)
+
+        def body(state):
+            jg, _ = state
+            # a group runs only while its first (= nearest) entry distance
+            # can still beat some lane's need
+            go = ent_sm[0, jnp.minimum(jg * G, cpad - 1)] <= need_sm[0, 0]
 
             @pl.when(go)
             def _():
@@ -322,9 +336,9 @@ def _make_kernel_vmem(block_n: int, K: int, cpad: int, mode: str):
                 else:
                     need_sm[0, 0] = jnp.max(jnp.minimum(cur, tmax))
 
-            return jp + go.astype(jnp.int32)
+            return (jg + 1, 1 - go.astype(jnp.int32))
 
-        jax.lax.fori_loop(0, ng, body, jnp.int32(0))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
     return kernel
 

@@ -110,17 +110,77 @@ def _sample_channel(texels, offset, w, h, nearest, uv,
     return rgba, has
 
 
-def get_tex_color_rows(texels, mat_i, tex_type: int, uv, static):
+def _unpack(packed):
+    packed = packed.astype(jnp.uint32)
+    r = (packed & 0xFF).astype(jnp.float32)
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+    b = ((packed >> 16) & 0xFF).astype(jnp.float32)
+    a = ((packed >> 24) & 0xFF).astype(jnp.float32)
+    return jnp.stack([r, g, b, a], axis=-1) / 255.0
+
+
+def _sample_bilinear_pairs(pairs, offset, w, h, u, v):
+    """Bilinear fetch via the (NT, 2) horizontal-pair table: 2 row gathers
+    instead of 4 scalar gathers (identical values to sample_bilinear —
+    pair[i] = [texel i, texel i+1], and x1 is always x0 or x0+1)."""
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = u * wf
+    y = v * hf
+    x = jnp.where(x < 0.0, x + wf, x)
+    y = jnp.where(y < 0.0, y + hf, y)
+    x0 = jnp.clip(jnp.floor(x), 0.0, None).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(x), 0.0, None).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0.0, None).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(y), 0.0, None).astype(jnp.int32)
+    x0 = jnp.minimum(x0, w - 1)
+    x1 = jnp.minimum(x1, w - 1)
+    y0 = jnp.minimum(y0, h - 1)
+    y1 = jnp.minimum(y1, h - 1)
+    xf = x - x0.astype(jnp.float32)
+    yf = y - y0.astype(jnp.float32)
+
+    nt = pairs.shape[0]
+    r0 = pairs[jnp.clip(offset + y0 * w + x0, 0, nt - 1)]     # (N, 2)
+    r1 = pairs[jnp.clip(offset + y1 * w + x0, 0, nt - 1)]
+    right = (x1 > x0)[..., None]
+    p0 = _unpack(r0[..., 0])
+    p1 = jnp.where(right, _unpack(r0[..., 1]), p0)
+    p2 = _unpack(r1[..., 0])
+    p3 = jnp.where(right, _unpack(r1[..., 1]), p2)
+
+    top = p0 + xf[..., None] * (p1 - p0)
+    bot = p2 + xf[..., None] * (p3 - p2)
+    return top + yf[..., None] * (bot - top)
+
+
+def get_tex_color_rows(sa, mat_i, tex_type: int, uv, static):
     """Texture fetch from pre-gathered packed material rows (the hot path).
 
     ``mat_i`` is the (N, MATI_W) row gather of ops/traverse.build_mat_packs;
     offset/w/h/nearest are slices of it — no per-channel material-table
-    gathers.  Semantics identical to :func:`get_tex_color`.
+    gathers.  Bilinear fetches go through the horizontal-pair table
+    (2 gathers instead of 4).  Semantics identical to :func:`get_tex_color`.
     """
     from .traverse import MI_NEAREST, MI_TEX_H, MI_TEX_OFF, MI_TEX_W
     offset = mat_i[..., MI_TEX_OFF + tex_type]
     w = mat_i[..., MI_TEX_W + tex_type]
     h = mat_i[..., MI_TEX_H + tex_type]
     nearest = mat_i[..., MI_NEAREST]
-    return _sample_channel(texels, offset, w, h, nearest, uv,
-                           static.any_nearest, static.any_bilinear)
+    has = w > 0
+    w_safe = jnp.maximum(w, 1)
+    h_safe = jnp.maximum(h, 1)
+    u, v = uv[..., 0], uv[..., 1]
+    if static.any_nearest and static.any_bilinear:
+        rgba_n = sample_nearest(sa.tex_texels, offset, w_safe, h_safe, u, v)
+        rgba_b = _sample_bilinear_pairs(sa.tex_pairs, offset, w_safe, h_safe,
+                                        u, v)
+        rgba = jnp.where((nearest != 0)[..., None], rgba_n, rgba_b)
+    elif static.any_nearest:
+        rgba = sample_nearest(sa.tex_texels, offset, w_safe, h_safe, u, v)
+    else:
+        rgba = _sample_bilinear_pairs(sa.tex_pairs, offset, w_safe, h_safe,
+                                      u, v)
+    default = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    rgba = jnp.where(has[..., None], rgba, default)
+    return rgba, has

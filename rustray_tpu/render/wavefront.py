@@ -64,8 +64,8 @@ def _item_color(sa, static, mat_i, tex_type, uv, rgb):
     is skipped entirely when no material in the scene has this channel."""
     if not static.tex_channels[int(tex_type)]:
         return rgb, jnp.ones(rgb.shape[:-1], jnp.float32)
-    rgba, has = tex_ops.get_tex_color_rows(sa.tex_texels, mat_i,
-                                           int(tex_type), uv, static)
+    rgba, has = tex_ops.get_tex_color_rows(sa, mat_i, int(tex_type), uv,
+                                           static)
     out = jnp.where(has[..., None], rgb * rgba[..., :3], rgb)
     w = jnp.where(has, rgba[..., 3], 1.0)
     return out, w
@@ -77,8 +77,8 @@ def _tex_scalar(sa, static, mat_i, tex_type, uv):
     if not static.tex_channels[int(tex_type)]:
         z = jnp.zeros(mat_i.shape[:-1], jnp.float32)
         return z, jnp.zeros(mat_i.shape[:-1], bool)
-    rgba, has = tex_ops.get_tex_color_rows(sa.tex_texels, mat_i,
-                                           int(tex_type), uv, static)
+    rgba, has = tex_ops.get_tex_color_rows(sa, mat_i, int(tex_type), uv,
+                                           static)
     return rgba[..., 0], has
 
 
@@ -110,7 +110,7 @@ def _shade_level(sa, static, prep, cfg: RaytracingConfig,
     # ---- normal mapping (src/raytracing.rs:756-784) ----
     if static.has_normal_tex:
         ntex, has_nt = tex_ops.get_tex_color_rows(
-            sa.tex_texels, mat_i, int(TextureType.Normal), uv, static)
+            sa, mat_i, int(TextureType.Normal), uv, static)
         up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
         fwd = jnp.array([0.0, 0.0, 1.0], jnp.float32)
         tangent = jnp.cross(surface_normal, up)
@@ -352,9 +352,35 @@ def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
 
         for depth in range(1, n_levels + 1):
             lkey = jax.random.fold_in(key, depth)
-            emission, aov, ch = _shade_level(
-                sa, static, prep, cfg, o, d, weight, alive, depth, lkey,
-                boxes=boxes, engine=engine, accel_impl=accel_impl)
+
+            def run_level(o, d, weight, alive, depth=depth, lkey=lkey):
+                return _shade_level(
+                    sa, static, prep, cfg, o, d, weight, alive, depth, lkey,
+                    boxes=boxes, engine=engine, accel_impl=accel_impl)
+
+            if depth == 1:
+                emission, aov, ch = run_level(o, d, weight, alive)
+            else:
+                # an all-dead level contributes nothing; skip its ENTIRE
+                # trace+shade (the traversal cond alone left ~25 ms/level of
+                # dead-lane shading per chunk-sample on the profile)
+                def dead_level(o, d, weight, alive):
+                    nlev = o.shape[0]
+                    z3 = jnp.zeros((nlev, 3))
+                    z1 = jnp.zeros((nlev,))
+                    zb = jnp.zeros((nlev,), bool)
+                    zi = jnp.zeros((nlev,), jnp.int32)
+                    return (z3,
+                            dict(depth=z1, normal=z3, obj_id=zi),
+                            dict(refl_o=z3, refl_d=z3, w_refl=z3,
+                                 refr_o=z3, refr_d=z3, w_refr=z3,
+                                 spawn_refl=zb, spawn_refr=zb,
+                                 refr_spawned=zb, alpha_zero=zb,
+                                 n_shadow_rays=jnp.int32(0)))
+
+                emission, aov, ch = jax.lax.cond(
+                    jnp.any(alive), run_level, dead_level, o, d, weight,
+                    alive)
             traced = traced + jnp.sum(alive.astype(jnp.int32)) \
                 + ch["n_shadow_rays"]
             contrib = jnp.where(alive[..., None], weight * emission, 0.0)

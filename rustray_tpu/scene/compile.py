@@ -107,6 +107,10 @@ class SceneArrays:
     lights: LightsSoA
     camera: CameraArrays
     tex_texels: np.ndarray     # (NT,) int32 packed rgba
+    tex_pairs: np.ndarray      # (NT, 2) int32: [texel i, texel i+1] — one
+                               # row gather yields a horizontal texel pair,
+                               # halving bilinear fetches (PERF_r04 step 2:
+                               # gather cost is per ROW, not per byte)
 
 
 @dataclass(frozen=True)
@@ -351,7 +355,9 @@ def compile_scene(scene: Scene, width: int = 0, height: int = 0,
         vnormals=vnormals, vn_inst=vn_inst,
         cl_lo=cl_lo, cl_hi=cl_hi, cl_inst=cl_inst, cl_valid=cl_valid,
         materials=materials, lights=lights, camera=camera,
-        tex_texels=atlas.finalize(),
+        tex_texels=(_texels := atlas.finalize()),
+        tex_pairs=np.stack([_texels, np.append(_texels[1:], _texels[-1])],
+                           axis=1),
     )
     static = SceneStatic(
         n_instances=len(items), n_spheres=len(sphere_indices), n_tris=n_tris_real,
