@@ -105,6 +105,12 @@ class EngineConfig:
     # on incoherent (shadow/reflection) wavefronts
     pallas_block: int = 128
     pallas_interpret: bool = False
+    # max AA/MC sample cells evaluated per device dispatch on the
+    # single-dispatch frame path: one dispatch per ~16 samples keeps each
+    # device program under ~1 min — a single 128-spp dispatch (~6 min) hard
+    # crashes the tunneled TPU worker (watchdog); per-dispatch overhead is
+    # ~0.9 s, <2% at this granularity
+    samples_per_dispatch: int = 16
 
     def use_accel(self, static) -> bool:
         if self.accel == "off" or static.n_clusters == 0:

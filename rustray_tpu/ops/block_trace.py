@@ -598,7 +598,9 @@ def trace_tris_blocks(o, d, alive, t_max, prep: TrianglePrep, w_lo, w_hi,
                                        cl_ok, nb, block_n, cpad)
     if os.environ.get("RUSTRAY_TRACE_STATS"):
         # dev instrumentation: visit-list population per trace call (upper
-        # bound on kernel visits; the early exit only shrinks it)
+        # bound on kernel visits; the early exit only shrinks it).  CPU
+        # backend only — the axon TPU plugin does not support host
+        # callbacks (UNIMPLEMENTED at run time).
         jax.debug.callback(
             lambda s, mx, a: _TRACE_STATS.append(
                 (mode, int(nb), int(s), int(mx), float(a))),

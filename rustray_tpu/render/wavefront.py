@@ -727,24 +727,40 @@ def render(sa, static, cfg: RaytracingConfig,
     use_device_loop = (checkpoint_path is None and max_chunks is None
                        and preview_path is None)
     if use_device_loop:
-        # fast path: ONE dispatch for the whole frame (a device-side chunk
-        # scan) — per-dispatch host/runtime overhead through a tunneled TPU
-        # is ~0.9 s (tools/walltime_probe.py), so per-chunk dispatch loops
-        # are forbidden on the hot path
+        # fast path: ONE dispatch per sample group for the whole pixel grid
+        # (a device-side chunk scan) — per-dispatch host/runtime overhead
+        # through a tunneled TPU is ~0.9 s (tools/walltime_probe.py), so
+        # per-chunk dispatch loops are forbidden on the hot path.  Samples
+        # are grouped (EngineConfig.samples_per_dispatch) because a single
+        # multi-minute device program hard-crashes the tunneled TPU worker
+        # (observed at 128 spp); sums accumulate across groups, so results
+        # are identical to a single dispatch (per-cell RNG keys come from
+        # the global cell index).
         n_chunks = -(-n_pix // chunk)
         frame = make_frame_renderer(static, cfg, eng, n_levels, chunk,
                                     n_chunks)
-        c, dpt, nrm, oid, drops, traced = frame(
-            sa, prep, wvn, cells, cell_idx, cell_valid, key)
-        # np.array (copy): re-rendered chunks are written in place below
-        color = np.array(c)
-        depth = np.array(dpt)
-        normal = np.array(nrm)
-        obj_id = np.array(oid)
-        device_rays = int(np.asarray(traced).sum())
-        # chunks that dropped live rays are re-rendered (rare) at a raised
-        # queue factor via the per-chunk path
-        drops_np = np.asarray(drops)
+        n_cells = int(cells.shape[0])
+        per = max(1, int(engine.samples_per_dispatch))
+        color = np.zeros((n_pix, 3), np.float32)
+        depth = np.zeros((n_pix,), np.float32)
+        normal = np.zeros((n_pix, 3), np.float32)
+        obj_id = np.zeros((n_pix,), np.int32)
+        drops_np = np.zeros((n_chunks,), np.int64)
+        device_rays = 0
+        for g0 in range(0, n_cells, per):
+            g1 = min(g0 + per, n_cells)
+            c, dpt, nrm, oid, drops, traced = frame(
+                sa, prep, wvn, cells[g0:g1], cell_idx[g0:g1],
+                cell_valid[g0:g1], key)
+            color += np.asarray(c)
+            depth += np.asarray(dpt)
+            normal += np.asarray(nrm)
+            if g1 >= n_cells:  # object id: last sample wins
+                obj_id = np.array(oid)
+            drops_np += np.asarray(drops)
+            device_rays += int(np.asarray(traced).sum())
+        # chunks that dropped live rays are re-rendered (rare, full sample
+        # set) at a raised queue factor via the per-chunk path
         for ci in np.nonzero(drops_np > 0)[0]:
             start = int(ci) * chunk
             res = rerender_chunk(start, int(drops_np[ci]))

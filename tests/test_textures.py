@@ -55,3 +55,26 @@ def test_bilinear_matches_oracle_including_quirks():
     for i, (u, v) in enumerate(uvs):
         want = _sample_bilinear(tex, float(u), float(v))
         np.testing.assert_allclose(got[i], want, atol=2e-5, err_msg=f"uv={u},{v}")
+
+
+def test_pair_table_bilinear_matches_legacy():
+    """The horizontal texel-pair sampler (2 row gathers) must reproduce
+    sample_bilinear (4 scalar gathers) exactly, including the border
+    extrapolation quirks."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rustray_tpu.ops.texture import _sample_bilinear_pairs, sample_bilinear
+
+    rng = np.random.default_rng(7)
+    w, h = 13, 9
+    tex = rng.integers(0, 2**31 - 1, w * h, dtype=np.int32)
+    pairs = np.stack([tex, np.append(tex[1:], tex[-1])], axis=1)
+    n = 512
+    u = jnp.asarray(rng.uniform(-1.5, 2.5, n), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1.5, 2.5, n), jnp.float32)
+    off = jnp.zeros((n,), jnp.int32)
+    wv = jnp.full((n,), w, jnp.int32)
+    hv = jnp.full((n,), h, jnp.int32)
+    a = sample_bilinear(jnp.asarray(tex), off, wv, hv, u, v)
+    b = _sample_bilinear_pairs(jnp.asarray(pairs), off, wv, hv, u, v)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
