@@ -59,15 +59,17 @@ def main():
     cfg = scene.raytracing_config
     cfg.samples = samples
 
-    # 98304-pixel chunks measured best: per-call fixed costs (prologue,
-    # dispatch, sorts) amortize over more rays while VMEM/HBM stay in budget.
+    # 32768-pixel chunks measured best (r4 sweep: 24k 10.47s / 32k 10.25s /
+    # 49k 10.46s / 98k 11.6-12.4s / 196k 13.5s): tighter Morton blocks give
+    # smaller per-block visit lists, and the device-side chunk scan makes
+    # per-chunk fixed costs negligible.
     # queue_factor 1.0: every wavefront level runs at chunk width — the
     # bench scene's live child counts never exceed it (measured ~34% at the
     # deepest live level), and render() auto-raises + re-renders if a scene
     # ever drops rays, so this is a pure 2x lane-count saving, not an
     # accuracy trade.
     engine = EngineConfig(queue_factor=float(os.environ.get("BENCH_QF", 1.0)),
-                          chunk_pixels=98304 if not small else 16384)
+                          chunk_pixels=32768 if not small else 16384)
     if chunk_env:
         engine.chunk_pixels = chunk_env
     if block_env:

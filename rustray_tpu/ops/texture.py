@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .intersect import dot
 
 
 def _fetch(texels, offset, w, x, y):

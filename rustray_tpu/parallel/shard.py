@@ -19,7 +19,6 @@ all devices in the mesh; DCN carries the inter-host all-reduce.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, Optional
 
 import jax
