@@ -245,6 +245,25 @@ def _sorted_mesh_trace(sa, static, prep, o, d, alive, t_max, tri_ok, cl_ok,
     alive_s = alive[perm]
     tmax_s = None if t_max is None else t_max[perm]
 
+    # per-lane cap at the ray's exit from the global cluster bounds: no
+    # triangle lies beyond it, so sky/miss lanes stop holding the block's
+    # early-exit ``need`` at infinity (the closest-walk's measured weak
+    # spot — PERF_r04 round-5 input).  The 1e-4 relative + 1e-3 absolute
+    # margin dominates any f32 disagreement between the slab exit and a
+    # triangle t on the box boundary; rays missing the box get cap -1
+    # (they cannot hit anything — alive stays, results unchanged).
+    os_ = jax.lax.stop_gradient(o_s)
+    ds_ = jax.lax.stop_gradient(d_s)
+    eps = jnp.float32(1e-30)
+    sd = jnp.where(jnp.abs(ds_) > eps, ds_, jnp.where(ds_ >= 0, eps, -eps))
+    t0 = (lo[None] - os_) / sd
+    t1 = (hi[None] - os_) / sd
+    tn_box = jnp.max(jnp.minimum(t0, t1), axis=1)
+    tf_box = jnp.min(jnp.maximum(t0, t1), axis=1)
+    exit_cap = jnp.where(tf_box >= jnp.maximum(tn_box, 0.0),
+                         tf_box * 1.0001 + 1e-3, -1.0)
+    tmax_s = exit_cap if tmax_s is None else jnp.minimum(tmax_s, exit_cap)
+
     if accel_impl == "pallas":
         found_s, tri_s, t_s = trace_tris_blocks(
             o_s, d_s, alive_s, tmax_s, prep, w_lo, w_hi, cl_ok,
