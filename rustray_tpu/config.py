@@ -105,6 +105,12 @@ class EngineConfig:
     # on incoherent (shadow/reflection) wavefronts
     pallas_block: int = 128
     pallas_interpret: bool = False
+    # traversal algorithm for the Pallas path: "octet" = per-octet exact
+    # slab tests + front-to-back iterative-argmin walk (round-5 kernel,
+    # ops/octet_trace — ~5x fewer touched ray x triangle ops than the
+    # block walk on the bench wavefronts, tools/octet_lab.py); "block" =
+    # the per-128-ray-block visit-list walk (ops/block_trace).
+    pallas_algo: str = "octet"
     # max AA/MC sample cells evaluated per device dispatch on the
     # single-dispatch frame path: one dispatch per ~16 samples keeps each
     # device program under ~1 min — a single 128-spp dispatch (~6 min) hard

@@ -222,7 +222,8 @@ def _sphere_solid(sa, for_shadow: bool):
 
 def _sorted_mesh_trace(sa, static, prep, o, d, alive, t_max, tri_ok, cl_ok,
                        accel_boxes, accel_impl, accel_block, accel_gather,
-                       block_n, pallas_interpret, for_shadow):
+                       block_n, pallas_interpret, for_shadow,
+                       pallas_algo="octet"):
     """Coherence-sort rays, run the accelerated mesh trace, scatter back.
 
     Returns (found, tri, t) in the caller's ray order; t is the traversal's
@@ -265,11 +266,18 @@ def _sorted_mesh_trace(sa, static, prep, o, d, alive, t_max, tri_ok, cl_ok,
     tmax_s = exit_cap if tmax_s is None else jnp.minimum(tmax_s, exit_cap)
 
     if accel_impl == "pallas":
-        found_s, tri_s, t_s = trace_tris_blocks(
-            o_s, d_s, alive_s, tmax_s, prep, w_lo, w_hi, cl_ok,
-            static.cluster_size, block_n=block_n,
-            mode="any" if for_shadow else "closest",
-            interpret=pallas_interpret)
+        if pallas_algo == "octet":
+            from .octet_trace import trace_tris_octets
+            found_s, tri_s, t_s = trace_tris_octets(
+                o_s, d_s, alive_s, tmax_s, prep, w_lo, w_hi, cl_ok,
+                static.cluster_size, mode="any" if for_shadow else "closest",
+                interpret=pallas_interpret)
+        else:
+            found_s, tri_s, t_s = trace_tris_blocks(
+                o_s, d_s, alive_s, tmax_s, prep, w_lo, w_hi, cl_ok,
+                static.cluster_size, block_n=block_n,
+                mode="any" if for_shadow else "closest",
+                interpret=pallas_interpret)
     else:
         o_t = jnp.where(alive_s[:, None], o_s, DEAD_ORIGIN)
         d_t = jnp.where(alive_s[:, None], d_s, 1.0)
@@ -284,7 +292,8 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
                   tri_tile: int = 1024, accel_boxes=None,
                   accel_block: int = 1024, accel_gather: int = 32,
                   accel_impl: str = "xla", alive=None, t_max=None,
-                  block_n: int = 512, pallas_interpret: bool = False) -> Hit:
+                  block_n: int = 512, pallas_interpret: bool = False,
+                  pallas_algo: str = "octet") -> Hit:
     """o (N,3), d (N,3) normalized.  Static flags select compile-time paths.
 
     ``accel_boxes``: optional (w_lo, w_hi) world cluster AABBs from
@@ -322,7 +331,8 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
                 lambda: _sorted_mesh_trace(
                     sa, static, prep, o, d, alive_f, t_max, tri_ok, cl_ok,
                     accel_boxes, accel_impl, accel_block, accel_gather,
-                    block_n, pallas_interpret, for_shadow),
+                    block_n, pallas_interpret, for_shadow,
+                    pallas_algo=pallas_algo),
                 lambda: (jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32),
                          jnp.full((n,), INF)))
             if prep.shade_pack is not None:

@@ -93,7 +93,8 @@ def _shade_level(sa, static, prep, cfg: RaytracingConfig,
     trace_kw = dict(accel_boxes=boxes, accel_block=engine.accel_block,
                     accel_gather=engine.accel_gather, accel_impl=accel_impl,
                     block_n=engine.pallas_block,
-                    pallas_interpret=engine.pallas_interpret)
+                    pallas_interpret=engine.pallas_interpret,
+                    pallas_algo=engine.pallas_algo)
     d = safe_normalize(d)
     allow_ro = depth > 1
     hit = trace_closest(sa, static, prep, o, d, for_shadow=False,
@@ -303,7 +304,8 @@ def _config_key(static, cfg: RaytracingConfig, engine: EngineConfig, n_levels: i
             engine.chunk_pixels, engine.queue_factor, engine.tri_tile,
             engine.seed, n_levels, engine.accel, engine.accel_block,
             engine.accel_gather, engine.accel_min_tris, engine.pallas,
-            engine.pallas_block, engine.pallas_interpret)
+            engine.pallas_block, engine.pallas_interpret,
+            engine.pallas_algo)
 
 
 def build_chunk_fn(static, cfg: RaytracingConfig, engine: EngineConfig,
