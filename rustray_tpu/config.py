@@ -105,12 +105,13 @@ class EngineConfig:
     # on incoherent (shadow/reflection) wavefronts
     pallas_block: int = 128
     pallas_interpret: bool = False
-    # traversal algorithm for the Pallas path: "octet" = per-octet exact
-    # slab tests + front-to-back iterative-argmin walk (round-5 kernel,
-    # ops/octet_trace — ~5x fewer touched ray x triangle ops than the
-    # block walk on the bench wavefronts, tools/octet_lab.py); "block" =
-    # the per-128-ray-block visit-list walk (ops/block_trace).
-    pallas_algo: str = "octet"
+    # traversal algorithm for the Pallas path: "block" = the per-block
+    # visit-list walk with quad-masked intersections (ops/block_trace);
+    # "octet" = per-octet exact-test iterative-argmin walk
+    # (ops/octet_trace — exact and lane-optimal but serialized by
+    # per-iteration loop machinery, kept for reference/measurement;
+    # tools/octet_kernel_bench.py has the cost isolation).
+    pallas_algo: str = "block"
     # max AA/MC sample cells evaluated per device dispatch on the
     # single-dispatch frame path: one dispatch per ~16 samples keeps each
     # device program under ~1 min — a single 128-spp dispatch (~6 min) hard

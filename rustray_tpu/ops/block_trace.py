@@ -98,7 +98,12 @@ def pack_cluster_tris(prep: TrianglePrep, tri_valid, n_clusters: int,
     comps = jnp.pad(comps, ((0, 0), (0, 4)))              # (pool, 16)
     comps = comps.reshape(n_clusters, cluster_size, 16)
     pack = jnp.transpose(comps, (0, 2, 1))                # (C, 16, K)
-    if out_rows is not None and out_rows > n_clusters:
+    # always at least one all-zero padding row: the octet round-trace uses
+    # the last row as its guaranteed-miss dummy cluster (empty stream
+    # slots intersect it branch-free)
+    out_rows = max(out_rows if out_rows is not None else n_clusters,
+                   n_clusters + 1)
+    if out_rows > n_clusters:
         pack = jnp.pad(pack, ((0, out_rows - n_clusters), (0, 0), (0, 0)))
     return pack
 
@@ -174,29 +179,42 @@ def _block_lists(o, d, alive, tmax, w_lo, w_hi, cl_ok, nb, block, cpad,
     C = w_lo.shape[0]
     possible = jnp.zeros((nb, C), bool)
     entry_min = jnp.full((nb, C), jnp.float32(_INF_PY))
+    qbits = jnp.zeros((nb, C), jnp.int32)
     for s in range(S):   # sequential: caps the (NB, C, 3) intermediates
         ax_ok = (dlo[:, s] > 1e-12) | (dhi[:, s] < -1e-12)
         i1 = 1.0 / jnp.where(ax_ok, dlo[:, s], 1.0)
         i2 = 1.0 / jnp.where(ax_ok, dhi[:, s], 1.0)
         ilo, ihi = jnp.minimum(i1, i2), jnp.maximum(i1, i2)
 
-        def plane_t(sb):  # sb (C, 3) -> interval of (sb - o)*inv
-            a = sb[None] - ohi[:, s][:, None]
-            b = sb[None] - olo[:, s][:, None]
-            c0, c1 = a * ilo[:, None], a * ihi[:, None]
-            c2, c3 = b * ilo[:, None], b * ihi[:, None]
-            lb = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
-            ub = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
-            return lb, ub
-
-        lo_lb, lo_ub = plane_t(w_lo)
-        hi_lb, hi_ub = plane_t(w_hi)
-        near_lb = jnp.minimum(lo_lb, hi_lb)    # LB of per-ray near plane
-        far_ub = jnp.maximum(lo_ub, hi_ub)     # UB of per-ray far plane
-        near_lb = jnp.where(ax_ok[:, None], near_lb, -_BIG)
-        far_ub = jnp.where(ax_ok[:, None], far_ub, _BIG)
-        entry_lb = jnp.maximum(near_lb.max(axis=-1), 0.0)      # (NB, C)
-        exit_ub = far_ub.min(axis=-1)
+        # per-axis rank-2 accumulation: XLA materializes the (NB, C, 3)
+        # broadcast form ~4x slower (measured on octet_entries, round 5)
+        entry_lb = None
+        exit_ub = None
+        for a in range(3):
+            ia_lo, ia_hi = ilo[:, a:a + 1], ihi[:, a:a + 1]    # (NB, 1)
+            oh, ol = ohi[:, s, a][:, None], olo[:, s, a][:, None]
+            lo_a = w_lo[None, :, a]                            # (1, C)
+            hi_a = w_hi[None, :, a]
+            a1, b1 = lo_a - oh, lo_a - ol
+            a2, b2 = hi_a - oh, hi_a - ol
+            lo_lb = jnp.minimum(jnp.minimum(a1 * ia_lo, a1 * ia_hi),
+                                jnp.minimum(b1 * ia_lo, b1 * ia_hi))
+            lo_ub = jnp.maximum(jnp.maximum(a1 * ia_lo, a1 * ia_hi),
+                                jnp.maximum(b1 * ia_lo, b1 * ia_hi))
+            hi_lb = jnp.minimum(jnp.minimum(a2 * ia_lo, a2 * ia_hi),
+                                jnp.minimum(b2 * ia_lo, b2 * ia_hi))
+            hi_ub = jnp.maximum(jnp.maximum(a2 * ia_lo, a2 * ia_hi),
+                                jnp.maximum(b2 * ia_lo, b2 * ia_hi))
+            near_a = jnp.minimum(lo_lb, hi_lb)   # LB of per-ray near plane
+            far_a = jnp.maximum(lo_ub, hi_ub)    # UB of per-ray far plane
+            axm = ax_ok[:, a:a + 1]
+            near_a = jnp.where(axm, near_a, -_BIG)
+            far_a = jnp.where(axm, far_a, _BIG)
+            entry_lb = near_a if entry_lb is None \
+                else jnp.maximum(entry_lb, near_a)
+            exit_ub = far_a if exit_ub is None \
+                else jnp.minimum(exit_ub, far_a)
+        entry_lb = jnp.maximum(entry_lb, 0.0)                  # (NB, C)
         poss_s = ((exit_ub >= entry_lb)
                   & (entry_lb <= sub_tmax[:, s][:, None])
                   & cl_ok[None] & sub_alive[:, s][:, None])
@@ -204,8 +222,17 @@ def _block_lists(o, d, alive, tmax, w_lo, w_hi, cl_ok, nb, block, cpad,
         entry_min = jnp.minimum(entry_min,
                                 jnp.where(poss_s, entry_lb,
                                           jnp.float32(_INF_PY)))
+        qbits = qbits | (poss_s.astype(jnp.int32) << s)
     key = jnp.where(possible, entry_min, jnp.float32(_INF_PY))
+    # descriptor: cluster id in the low 16 bits, per-sub-block (quad) need
+    # mask in bits 16..16+S — the kernel intersects ONLY the sub-blocks
+    # whose interval test passed this cluster (quad-gated visits; the
+    # full-block visit wasted >90% of its ray lanes at secondary levels,
+    # tools/traversal_lab.py).  S != 4 (non-quad refine) marks all quads.
+    if S != 4:
+        qbits = jnp.where(possible, 15, 0)
     cid = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], key.shape)
+    cid = cid | (qbits << 16)
     entry_s, order = jax.lax.sort((key, cid), dimension=1, num_keys=1)
     count = jnp.sum(possible, axis=1).astype(jnp.int32)
     if cpad > C:
@@ -242,7 +269,7 @@ _GROUP = 8
 # DMA path's ~2.8 us/group fixed cost, which made the DMA kernel ~10 s of
 # the round-3 frame (invisible to the xplane op trace — tools/kernel_probe).
 _VMEM_PACK_BUDGET = 64 * 1024 * 1024   # pack bytes; beyond this, DMA path
-_VMEM_GROUP = 4                        # visits between early-exit checks
+_VMEM_GROUP = 16  #
 
 
 def _make_kernel_vmem(block_n: int, K: int, cpad: int, mode: str):
@@ -275,7 +302,8 @@ def _make_kernel_vmem(block_n: int, K: int, cpad: int, mode: str):
             ld_i.wait()
             ld_e.wait()
 
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, (block_n, K), 1)
+        bn4 = block_n // 4
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (bn4, K), 1)
 
         # early-TERMINATING walk: lists are front-to-back, so the first
         # group whose entry distance exceeds every lane's need ends the
@@ -296,11 +324,11 @@ def _make_kernel_vmem(block_n: int, K: int, cpad: int, mode: str):
 
             @pl.when(go)
             def _():
-                cur = t_ref[0]
-                cix = idx_ref[0]
                 for g in range(G):
                     item = jg * G + g
-                    cid = idx_sm[0, jnp.minimum(item, cpad - 1)]
+                    desc = idx_sm[0, jnp.minimum(item, cpad - 1)]
+                    cid = desc & 0xFFFF
+                    qm = desc >> 16
                     trs = tris_vmem[cid]          # (16, K) VMEM read
                     n0, n1, n2, an = trs[0:1], trs[1:2], trs[2:3], trs[3:4]
                     g10, g11, g12 = trs[4:5], trs[5:6], trs[6:7]
@@ -308,28 +336,47 @@ def _make_kernel_vmem(block_n: int, K: int, cpad: int, mode: str):
                     g20, g21, g22 = trs[8:9], trs[9:10], trs[10:11]
                     c2 = trs[11:12]
 
-                    d_n = dx * n0 + dy * n1 + dz * n2        # (BN, K)
-                    o_n = ox * n0 + oy * n1 + oz * n2
-                    denom_ok = jnp.abs(d_n) > jnp.float32(1e-30)
-                    t = (an - o_n) / jnp.where(denom_ok, d_n, 1.0)
-                    px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
-                    u = px * g10 + py * g11 + pz * g12 + c1
-                    v = px * g20 + py * g21 + pz * g22 + c2
-                    hit = (denom_ok & (t >= 0.0) & (u >= 0.0) & (v >= 0.0)
-                           & (u + v <= 1.0) & (t <= tmax) & (item < n))
-                    t_m = jnp.where(hit, t, inf)
-                    tile_min = jnp.min(t_m, axis=1, keepdims=True)  # (BN, 1)
-                    within = jnp.min(jnp.where(t_m == tile_min, lane_k, K),
-                                     axis=1, keepdims=True)
-                    gidx = cid * K + jnp.minimum(within, K - 1)
-                    if mode == "any":
-                        better = (tile_min < inf) & (cur >= inf)
-                    else:
-                        better = tile_min < cur
-                    cur = jnp.where(better, tile_min, cur)
-                    cix = jnp.where(better, gidx, cix)
-                t_ref[0] = cur
-                idx_ref[0] = cix
+                    # quad-gated: intersect only the 32-ray sub-blocks
+                    # whose interval test listed this cluster (~1.6 of 4
+                    # at secondary levels) — scalar-branch gating costs
+                    # ~10 ns vs ~60 ns per skipped quad intersection
+                    for q in range(4):
+                        @pl.when((((qm >> q) & 1) == 1) & (item < n))
+                        def _(q=q, cid=cid, n0=n0, n1=n1, n2=n2, an=an,
+                              g10=g10, g11=g11, g12=g12, c1=c1, g20=g20,
+                              g21=g21, g22=g22, c2=c2):
+                            r0, r1 = q * bn4, (q + 1) * bn4
+                            dxq, dyq, dzq = dx[r0:r1], dy[r0:r1], dz[r0:r1]
+                            oxq, oyq, ozq = ox[r0:r1], oy[r0:r1], oz[r0:r1]
+                            tmq = tmax[r0:r1]
+                            d_n = dxq * n0 + dyq * n1 + dzq * n2  # (bn4, K)
+                            o_n = oxq * n0 + oyq * n1 + ozq * n2
+                            den = jnp.abs(d_n) > jnp.float32(1e-30)
+                            t = (an - o_n) / jnp.where(den, d_n, 1.0)
+                            px = oxq + t * dxq
+                            py = oyq + t * dyq
+                            pz = ozq + t * dzq
+                            u = px * g10 + py * g11 + pz * g12 + c1
+                            v = px * g20 + py * g21 + pz * g22 + c2
+                            hit = (den & (t >= 0.0) & (u >= 0.0)
+                                   & (v >= 0.0) & (u + v <= 1.0)
+                                   & (t <= tmq))
+                            t_m = jnp.where(hit, t, inf)
+                            tile_min = jnp.min(t_m, axis=1, keepdims=True)
+                            within = jnp.min(
+                                jnp.where(t_m == tile_min, lane_q, K),
+                                axis=1, keepdims=True)
+                            gidx = cid * K + jnp.minimum(within, K - 1)
+                            cur = t_ref[0, r0:r1]
+                            if mode == "any":
+                                better = (tile_min < inf) & (cur >= inf)
+                            else:
+                                better = tile_min < cur
+                            t_ref[0, r0:r1] = jnp.where(better, tile_min,
+                                                        cur)
+                            idx_ref[0, r0:r1] = jnp.where(
+                                better, gidx, idx_ref[0, r0:r1])
+                cur = t_ref[0]
                 if mode == "any":
                     need_sm[0, 0] = jnp.max(
                         jnp.where(cur < inf, jnp.float32(-_INF_PY), tmax))
@@ -410,7 +457,9 @@ def _make_kernel(block_n: int, K: int, cpad: int, mode: str):
         need_sm[0, 0] = jnp.max(tmax)
 
         def item_cid(j):
-            return idx_sm[0, jnp.minimum(j, cpad - 1)]
+            # descriptor low bits = cluster id (high bits: quad mask, used
+            # only by the VMEM kernel's gated visits)
+            return idx_sm[0, jnp.minimum(j, cpad - 1)] & 0xFFFF
 
         def group_dma(slot, jg, g):
             # one (16, K) cluster slab into lane window g of the slot
@@ -574,6 +623,11 @@ def trace_tris_blocks(o, d, alive, t_max, prep: TrianglePrep, w_lo, w_hi,
 
     K = cluster_size
     C = w_lo.shape[0]
+    if C > 65536:
+        raise ValueError("cluster pool exceeds the 16-bit descriptor "
+                         "packing (>8.4M triangles); split the pool")
+    if block_n % 4:
+        raise ValueError("block_n must be a multiple of 4 (quad gating)")
     cpad = -(-C // 128) * 128
     n = o.shape[0]
     nb = -(-n // block_n)
