@@ -95,6 +95,12 @@ class TrianglePrep:
     #   src/shape/mesh.rs:105-161).
     shade_pack: object = None
     corner_pack: object = None
+    # packed material tables (ops/traverse.build_mat_packs) built once per
+    # frame alongside the shade packs: hit_attributes runs once per level
+    # for primaries AND shadow occluders, and rebuilding the concatenates
+    # there relied on XLA CSE to dedupe (ADVICE r4)
+    mat_pack_f: object = None
+    mat_pack_i: object = None
 
 
 def prepare_triangles(sa) -> TrianglePrep:

@@ -224,9 +224,15 @@ def _run_round(rays, pack, desc, slots, K, dummy, interpret):
                    constant_values=dummy)
     desc_rows = flat.reshape(steps, 128)
     flags = jnp.any(desc_rows != dummy, axis=1).astype(jnp.int32)
-    call = _build_call(steps, n, pack.shape[0], K, slots, interpret)
+    # the kernel derives octet ids from slot position, so the padded tail
+    # of the last step addresses octets past `no` — give them real (dead)
+    # ray rows to read and output rows to clobber
+    n_rows = steps * (128 // slots) * 8
+    if n_rows > n:
+        rays = jnp.pad(rays, ((0, n_rows - n), (0, 0)))
+    call = _build_call(steps, n_rows, pack.shape[0], K, slots, interpret)
     t_out, i_out = call(flags, rays, desc_rows, pack)
-    return t_out[:, 0], i_out[:, 0]
+    return t_out[:n, 0], i_out[:n, 0]
 
 
 # --------------------------------------------------------------------------

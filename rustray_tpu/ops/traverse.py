@@ -146,7 +146,9 @@ def build_shade_packs(sa, prep: TrianglePrep, wvn) -> TrianglePrep:
     uvc = jnp.where(has_uv[:, None], uvc, 0.0)
     corner = jnp.concatenate([vnc, has_n[:, None].astype(jnp.float32), uvc],
                              axis=1)                      # (T, 16)
-    return prep.replace(shade_pack=shade, corner_pack=corner)
+    mat_f, mat_i = build_mat_packs(sa.materials)
+    return prep.replace(shade_pack=shade, corner_pack=corner,
+                        mat_pack_f=mat_f, mat_pack_i=mat_i)
 
 
 # --------------------------------------------------------------------------
@@ -343,7 +345,12 @@ def trace_closest(sa, static, prep: TrianglePrep, o, d,
                 t_tri = recompute_t(o, d, prep, tri_idx, found)
             better = t_tri < best_t
             # mesh instance resolution deferred to hit_attributes (one
-            # packed gather there instead of a tri_inst gather here)
+            # packed gather there instead of a tri_inst gather here);
+            # Hit.inst is set to -1 for accel-path mesh hits so a consumer
+            # that skips hit_attributes fails loudly instead of silently
+            # reading instance 0 (ADVICE r4) — hit_attributes overwrites
+            # every is_mesh row from shade_pack before any use
+            best_inst = jnp.where(better, -1, best_inst)
         else:
             t_tri, tri_idx = closest_tri(o, d, prep, tri_ok, tri_tile)
             if t_max is not None:
@@ -421,7 +428,10 @@ def hit_attributes(sa, static, prep: TrianglePrep, o, d, hit: Hit) -> HitAttrs:
 
     mat = jnp.where(hit.hit, sa.inst_mat[inst], 0)
     obj_id = jnp.where(hit.hit, sa.inst_obj_id[inst], 0)
-    mat_pack_f, mat_pack_i = build_mat_packs(sa.materials)
+    if prep.mat_pack_f is not None:
+        mat_pack_f, mat_pack_i = prep.mat_pack_f, prep.mat_pack_i
+    else:
+        mat_pack_f, mat_pack_i = build_mat_packs(sa.materials)
     mat_f = mat_pack_f[mat]                             # (N, 16) gather 3
     mat_i = mat_pack_i[mat]                             # (N, 32) gather 4
 

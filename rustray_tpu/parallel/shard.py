@@ -56,18 +56,22 @@ def make_mesh(devices=None, sample_axis: int = 1, axis_names=("rays", "samples")
 
 
 def _pad_pixels(static, n_rays_shards, start=0, count=None):
-    """Pixel index slab [start, start+count) padded to the ray-shard count."""
+    """Pixel index slab [start, start+count) padded to the ray-shard count.
+
+    Every chunk is padded to the SAME total (``count`` rounded up to the
+    shard count) regardless of how many pixels remain, so all chunks share
+    one compiled sharded program — a final partial chunk with a different
+    lane count would retrigger a full jit compile (ADVICE r4)."""
     n_pix = static.width * static.height
     if count is None:
         count = n_pix
-    count = min(count, n_pix - start)
     per = -(-count // n_rays_shards)
     total = per * n_rays_shards
     idx = np.minimum(start + np.arange(total), n_pix - 1)
-    valid = np.arange(total) < count
+    valid = (start + np.arange(total)) < n_pix
     px = (idx % static.width).astype(np.int32)
     py = (idx // static.width).astype(np.int32)
-    return px, py, valid, count
+    return px, py, valid, min(count, n_pix - start)
 
 
 def _pad_cells(cfg, engine, n_sample_shards):

@@ -705,8 +705,10 @@ def render(sa, static, cfg: RaytracingConfig,
         """Auto-raise the queue factor and re-render one chunk until no
         live rays drop (the reference always evaluates the full Whitted
         tree, src/raytracing.rs:938-975).  Returns the final chunk arrays,
-        or None when the factor is already at its cap (keep prior result)."""
-        nonlocal eng, rend
+        or None when the factor is already at its cap (keep prior result).
+        Re-render attempts add their traced rays to ``device_rays`` so the
+        reported Mrays/s reflects all work done (ADVICE r4)."""
+        nonlocal eng, rend, device_rays
         result = None
         while n_drop > 0 and eng.queue_factor < max_qf:
             new_qf = min(eng.queue_factor * 2.0, max_qf)
@@ -716,9 +718,10 @@ def render(sa, static, cfg: RaytracingConfig,
             eng = dataclasses.replace(eng, queue_factor=new_qf)
             rend = make_chunk_renderer(static, cfg, eng, n_levels)
             _, _, out = dispatch(start)
-            c, dpt, nrm, oid, dropped, _ = out
+            c, dpt, nrm, oid, dropped, traced = out
             result = (c, dpt, nrm, oid)
             n_drop = int(dropped)
+            device_rays += int(traced)
         if n_drop:
             print(f"warning: dropped {n_drop} live secondary rays "
                   f"at queue_factor={eng.queue_factor} (cap "

@@ -102,6 +102,11 @@ def perspective(aspect: float, fovy: float, znear: float, zfar: float) -> np.nda
     """nalgebra ``Perspective3::new(aspect, fovy, znear, zfar)`` homogeneous
     matrix (src/camera.rs:81). fovy in radians; right-handed, z in [-1, 1]."""
     f = 1.0 / np.tan(fovy / 2.0)
+    # aspect is 0 until Camera.init(w, h) runs (loaders may rebuild
+    # matrices first); the placeholder matrix is replaced on init, so keep
+    # it finite instead of emitting divide-by-zero warnings (VERDICT r4 #9)
+    if aspect <= 0.0:
+        aspect = 1.0
     m = np.zeros((4, 4), dtype=np.float64)
     m[0, 0] = f / aspect
     m[1, 1] = f

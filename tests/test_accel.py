@@ -215,3 +215,81 @@ def test_selected_t_gradients_match_recompute(accel_scene):
     for a, b in zip(g_fast, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_block_kernel_dma_path_matches_dense(accel_scene, monkeypatch):
+    """The HBM->VMEM DMA-streaming kernel (packs beyond the VMEM budget)
+    must stay dense-exact — every test-size scene selects the VMEM-resident
+    kernel, so this forces the DMA path explicitly (ADVICE r4)."""
+    from rustray_tpu.ops import block_trace
+    monkeypatch.setattr(block_trace, "_VMEM_PACK_BUDGET", 0)
+    _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
+    for name, o, d, alive in _batches(sa, 512):
+        t_d, i_d = closest_tri(o, d, prep, tri_ok, 1024)
+        f_p, i_p, _ = trace_tris_blocks(
+            o, d, alive, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
+            block_n=256, interpret=True)
+        found_d = (np.asarray(t_d) < float(INF)) & np.asarray(alive)
+        f_p = np.asarray(f_p) & np.asarray(alive)
+        assert (f_p == found_d).mean() >= 0.999, name
+        both = f_p & found_d
+        np.testing.assert_allclose(_tri_t(prep, o, d, np.asarray(i_p))[both],
+                                   _tri_t(prep, o, d, np.asarray(i_d))[both],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_octet_round_trace_matches_dense(accel_scene):
+    """The octet round-trace path (pallas_algo='octet') must be exact vs
+    the dense scan, including t_max capping, any-hit mode and the
+    block-walk fallback for octets whose filtered lists overflow round 1."""
+    from rustray_tpu.ops.octet_trace import trace_tris_octets
+    _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
+    for name, o, d, alive in _batches(sa, 512):
+        t_d, i_d = closest_tri(o, d, prep, tri_ok, 1024)
+        f_o, i_o, _ = trace_tris_octets(
+            o, d, alive, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
+            interpret=True)
+        found_d = (np.asarray(t_d) < float(INF)) & np.asarray(alive)
+        f_o = np.asarray(f_o) & np.asarray(alive)
+        assert (f_o == found_d).mean() >= 0.999, name
+        both = f_o & found_d
+        np.testing.assert_allclose(_tri_t(prep, o, d, np.asarray(i_o))[both],
+                                   _tri_t(prep, o, d, np.asarray(i_d))[both],
+                                   rtol=1e-4, atol=1e-5)
+    # t_max + any-hit: occlusion booleans must be exact
+    name, o, d, alive = _batches(sa, 512)[1]
+    t_d, _ = closest_tri(o, d, prep, tri_ok, 1024)
+    tmax = jnp.full((512,), 4.0)
+    found_ref = (np.asarray(t_d) < 4.0) & np.asarray(alive)
+    for mode in ("closest", "any"):
+        f_m, i_m, _ = trace_tris_octets(
+            o, d, alive, tmax, prep, w_lo, w_hi, cl_ok, static.cluster_size,
+            mode=mode, interpret=True)
+        f_m = np.asarray(f_m) & np.asarray(alive)
+        assert (f_m == found_ref).mean() >= 0.999, mode
+        t_m = _tri_t(prep, o, d, np.asarray(i_m))
+        assert (t_m[f_m] <= 4.0 + 1e-4).all(), mode
+
+
+def test_accel_mesh_hit_inst_contract(accel_scene):
+    """Accel-path mesh hits defer instance resolution to hit_attributes:
+    Hit.inst is -1 (loud, never silently instance 0) and hit_attributes
+    resolves the true owner from shade_pack (ADVICE r4)."""
+    from rustray_tpu.ops.traverse import (build_shade_packs, hit_attributes,
+                                          prepare_vertex_normals,
+                                          trace_closest)
+    _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
+    prep2 = build_shade_packs(sa, prep, prepare_vertex_normals(sa))
+    name, o, d, alive = _batches(sa, 512)[0]
+    hit = jax.jit(lambda o, d: trace_closest(
+        sa, static, prep2, o, d, for_shadow=False,
+        allow_reflection_only=False, accel_boxes=(w_lo, w_hi),
+        accel_impl="xla", accel_block=256, accel_gather=8))(o, d)
+    mesh_hits = np.asarray(hit.hit & hit.is_mesh)
+    assert mesh_hits.any()
+    assert (np.asarray(hit.inst)[mesh_hits] == -1).all()
+    attrs = hit_attributes(sa, static, prep2, o, d, hit)
+    # resolved instances must map to the true triangle owners
+    tri_inst = np.asarray(sa.tri_inst)[np.asarray(hit.tri)]
+    obj_ref = np.asarray(sa.inst_obj_id)[tri_inst]
+    assert (np.asarray(attrs.obj_id)[mesh_hits] == obj_ref[mesh_hits]).all()
