@@ -281,10 +281,10 @@ def test_accel_mesh_hit_inst_contract(accel_scene):
     _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
     prep2 = build_shade_packs(sa, prep, prepare_vertex_normals(sa))
     name, o, d, alive = _batches(sa, 512)[0]
-    hit = jax.jit(lambda o, d: trace_closest(
+    hit = jax.jit(lambda sa, o, d: trace_closest(
         sa, static, prep2, o, d, for_shadow=False,
         allow_reflection_only=False, accel_boxes=(w_lo, w_hi),
-        accel_impl="xla", accel_block=256, accel_gather=8))(o, d)
+        accel_impl="xla", accel_block=256, accel_gather=8))(sa, o, d)
     mesh_hits = np.asarray(hit.hit & hit.is_mesh)
     assert mesh_hits.any()
     assert (np.asarray(hit.inst)[mesh_hits] == -1).all()

@@ -163,3 +163,48 @@ def test_sharded_chunked_720p_smoke(small_scene):
     assert np.isfinite(out["color"]).all()
     assert (out["color"].sum(-1) > 0).mean() > 0.2
     assert out["device_rays"] > 1280 * 720 * 4
+
+
+def test_sharded_deep_tree_midres_exact(capsys):
+    """Mid-resolution sharded render with a DEEP Whitted tree and forced
+    drops (VERDICT r4 #7): 320x180, depth >= 3, queue factor low enough to
+    trigger the auto-raise, chunked into multiple sharded dispatches —
+    must match the single-chip image exactly."""
+    from rustray_tpu.scene.light import LightType
+    from rustray_tpu.scene.material import Material
+    from rustray_tpu.scene.scene import Scene
+    from rustray_tpu.scene.shapes import Sphere
+
+    # a frame-filling glass sphere branches 2x per bounce (reflection +
+    # refraction), so queue_factor=1 must drop and auto-raise
+    scene = Scene()
+    m = Material(id=scene.get_next_id(), name="glass")
+    m.base_color = np.array([0.4, 0.7, 0.9], np.float32)
+    m.reflectivity = 0.5
+    m.alpha = 0.5
+    m.refraction_index = 1.5
+    s = Sphere("big", m, 0.0, 0.0, -5.0, 4.8)
+    s.basic.id = scene.get_next_id()
+    scene.items.append(s)
+    scene.materials.append(m)
+    scene.add_light("key", (-4.0, 8.0, 2.0), (0, -1, 0), (1, 1, 1), 200.0,
+                    np.pi / 2, LightType.Point)
+    scene.cam.init(320, 180)
+    scene.raytracing_config.max_recursion = 3
+    scene.raytracing_config.samples = 2
+    scene.init()
+    scene.update()
+    sa, static = scene.compile()
+    cfg = scene.raytracing_config
+
+    ref = rt.render(sa, static, cfg, rt.EngineConfig(queue_factor=8.0))
+
+    mesh = make_mesh(jax.devices(), sample_axis=2)   # 4 ray shards
+    engine = rt.EngineConfig(queue_factor=1.0, chunk_pixels=8192)  # 2 chunks
+    out = render_sharded(sa, static, cfg, engine, mesh)
+    printed = capsys.readouterr().out
+    assert "re-rendering sharded chunk" in printed
+    assert_images_close(out["color"], ref["color"], atol=1e-5, frac=1.0,
+                        name="deep sharded color")
+    np.testing.assert_allclose(out["depth"], ref["depth"], atol=1e-4)
+    np.testing.assert_array_equal(out["object_id"], ref["object_id"])
