@@ -51,12 +51,13 @@ def main():
     impl = os.environ.get("BENCH_IMPL", "auto")
     chunk_env = int(os.environ.get("BENCH_CHUNK", 0))
     block_env = int(os.environ.get("BENCH_BLOCK", 0))
+    variant = os.environ.get("BENCH_VARIANT", "uniform")
 
     json_path = ensure_bench_assets(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "data", "bench"),
         grid=grid, lat=lat, lon=lon, width=width, height=height,
-        samples=samples, monte_carlo=not small)
+        samples=samples, monte_carlo=not small, variant=variant)
     scene = Scene()
     scene.load(json_path)
     scene.cam.init(width, height)
@@ -162,7 +163,8 @@ def main():
             "queue_factor": engine.queue_factor,
             "tris": int(static.n_tris),
             "clusters": int(static.n_clusters),
-            "scene": "gltf-loaded sponza-class (data/bench)",
+            "scene": f"gltf-loaded sponza-class (data/bench, {variant})",
+            "variant": variant,
             "scene_note": ("procedurally generated stand-in for sponza "
                            "(the real GLB is download-at-load and this "
                            "environment is airgapped): 250k tris, 37 "

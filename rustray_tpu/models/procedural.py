@@ -121,39 +121,73 @@ def uv_sphere_arrays(radius: float = 1.0, lat: int = 16, lon: int = 24):
 
 def ensure_bench_assets(out_dir: str, grid: int = 6, lat: int = 52,
                         lon: int = 68, width: int = 1280, height: int = 720,
-                        samples: int = 4, monte_carlo: bool = True) -> str:
+                        samples: int = 4, monte_carlo: bool = True,
+                        variant: str = "uniform") -> str:
     """Write (once) a sponza-class GLB (grid² dense UV-sphere meshes +
     floor, ≥200k triangles, textured PBR materials, KHR lights + camera)
     plus a scene JSON that references it — the same JSON→GLTF load path the
     reference uses for sponza (src/scene.rs:722-1124,
-    /root/reference/scene/sponza.json).  Returns the JSON path."""
+    /root/reference/scene/sponza.json).  Returns the JSON path.
+
+    ``variant="skewed"`` (VERDICT r4 #6) de-risks the uniform stand-in's
+    too-even cluster statistics: power-law mesh tessellations (a few huge
+    meshes, many tiny ones), mixed triangle scales (radii 0.25-3.5) and
+    large empty spans (meshes packed into two clumps), at a comparable
+    total triangle count."""
     import json as _json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    glb_path = os.path.join(out_dir, f"sponza_class_g{grid}_{lat}x{lon}.glb")
-    json_path = os.path.join(out_dir, f"sponza_class_g{grid}_{lat}x{lon}.json")
+    tag = "" if variant == "uniform" else f"_{variant}"
+    glb_path = os.path.join(out_dir,
+                            f"sponza_class_g{grid}_{lat}x{lon}{tag}.glb")
+    json_path = os.path.join(out_dir,
+                             f"sponza_class_g{grid}_{lat}x{lon}{tag}.json")
     if not os.path.exists(glb_path):
         from ..scene.gltf_writer import write_glb
         rng = np.random.default_rng(7)
         tex = checkerboard_texture(128, 16)
         verts, normals, uvs, tris = uv_sphere_arrays(1.0, lat, lon)
         meshes = []
-        for gx in range(grid):
-            for gz in range(grid):
-                meshes.append(dict(
-                    name=f"ball{gx}_{gz}", positions=verts, indices=tris,
-                    normals=normals, uvs=uvs,
-                    translation=(2.6 * (gx - (grid - 1) / 2), 0.0,
-                                 -6.0 - 2.6 * gz),
-                    material=dict(
-                        name=f"m{gx}_{gz}",
-                        base_color=tuple(rng.uniform(0.3, 1.0, 3)) + (1.0,),
-                        # loader maps reflectivity = metallic*0.5,
-                        # roughness = rough_factor/(2π)  (src/scene.rs:909-915)
-                        metallic=float(rng.uniform(0.0, 0.8)),
-                        roughness=float(rng.uniform(0.0, 0.5)),
-                        base_color_texture=tex)))
+        n_balls = grid * grid
+        if variant == "skewed":
+            # power-law tessellation scale per mesh, normalized so the
+            # total triangle count matches the uniform variant's
+            u = rng.uniform(size=n_balls)
+            scale = 0.15 + 3.0 * u ** 4
+            scale *= np.sqrt(n_balls / np.sum(scale ** 2))
+            radii = 0.25 + 3.25 * rng.uniform(size=n_balls) ** 2.5
+            # two clumps separated by a large empty span
+            centers = np.where(rng.uniform(size=(n_balls, 1)) < 0.7,
+                               np.array([[-5.0, 0.0, -8.0]]),
+                               np.array([[9.0, 0.0, -26.0]]))
+            pos = centers + rng.normal(scale=2.2, size=(n_balls, 3)) \
+                * np.array([1.0, 0.35, 1.0])
+            pos[:, 1] = np.maximum(pos[:, 1], radii - 1.2)
+        for b in range(n_balls):
+            gx, gz = b // grid, b % grid
+            if variant == "skewed":
+                li = max(4, int(round(lat * scale[b])))
+                lo_ = max(6, int(round(lon * scale[b])))
+                v_b, n_b, uv_b, t_b = uv_sphere_arrays(
+                    float(radii[b]), li, lo_)
+                translation = tuple(float(x) for x in pos[b])
+            else:
+                v_b, n_b, uv_b, t_b = verts, normals, uvs, tris
+                translation = (2.6 * (gx - (grid - 1) / 2), 0.0,
+                               -6.0 - 2.6 * gz)
+            meshes.append(dict(
+                name=f"ball{gx}_{gz}", positions=v_b, indices=t_b,
+                normals=n_b, uvs=uv_b,
+                translation=translation,
+                material=dict(
+                    name=f"m{gx}_{gz}",
+                    base_color=tuple(rng.uniform(0.3, 1.0, 3)) + (1.0,),
+                    # loader maps reflectivity = metallic*0.5,
+                    # roughness = rough_factor/(2π)  (src/scene.rs:909-915)
+                    metallic=float(rng.uniform(0.0, 0.8)),
+                    roughness=float(rng.uniform(0.0, 0.5)),
+                    base_color_texture=tex)))
         fv = np.array([[-40, -1.2, 10], [40, -1.2, 10], [40, -1.2, -60],
                        [-40, -1.2, -60]], np.float32)
         meshes.append(dict(
