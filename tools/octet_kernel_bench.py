@@ -166,7 +166,16 @@ def main():
                                              pack_cluster_tris)
     from rustray_tpu.ops.cluster_trace import world_cluster_aabbs
     from rustray_tpu.ops.intersect import INF, prepare_triangles
-    from rustray_tpu.ops.octet_trace import build_cluster_aabb_table
+    # (the (8, C_pad) cluster-AABB table the per-octet kernel variants use;
+    # inlined — the production octet path no longer needs it)
+    def build_cluster_aabb_table(w_lo, w_hi, cl_ok):
+        C = w_lo.shape[0]
+        cpad = -(-C // 128) * 128
+        lo = jnp.where(cl_ok[:, None], w_lo, jnp.float32(_BIG))
+        hi = jnp.where(cl_ok[:, None], w_hi, jnp.float32(-_BIG))
+        tab = jnp.concatenate([lo.T, hi.T, jnp.zeros((2, C))], axis=0)
+        return jnp.pad(tab, ((0, 0), (0, cpad - C)),
+                       constant_values=_BIG)[:, :cpad].at[3:6, C:].set(-_BIG)
     from tools.devbench import device_time
 
     json_path = ensure_bench_assets(os.path.join("data", "bench"), grid=6,
