@@ -269,7 +269,11 @@ _GROUP = 8
 # DMA path's ~2.8 us/group fixed cost, which made the DMA kernel ~10 s of
 # the round-3 frame (invisible to the xplane op trace — tools/kernel_probe).
 _VMEM_PACK_BUDGET = 64 * 1024 * 1024   # pack bytes; beyond this, DMA path
-_VMEM_GROUP = 16  #
+# visits per early-exit check in the VMEM kernel: measured flat across
+# {4, 8, 16} on the captured wavefronts (24.7/24.3/24.6 ms — the while
+# machinery is amortized by 4 already); 8 balances exit granularity
+# (up to G-1 visits of overshoot per block) against iteration overhead
+_VMEM_GROUP = 8
 
 
 def _make_kernel_vmem(block_n: int, K: int, cpad: int, mode: str):
