@@ -66,11 +66,16 @@ class Camera:
         self.init_matrices()
 
     def is_point_in_frustum(self, point) -> bool:  # src/camera.rs:133-140
-        pv = self.projection.astype(np.float64) @ self.view.astype(np.float64)
-        p = np.append(np.asarray(point, np.float64), 1.0)
-        clip = pv @ p
-        w = clip[3]
-        return abs(clip[0]) <= w and abs(clip[1]) <= w and abs(clip[2]) <= w
+        # degenerate candidate cameras (auto-search may aim dir along up,
+        # giving a NaN view matrix) must simply report "not in frustum" —
+        # NaN comparisons already do, so only the warning needs silencing
+        with np.errstate(invalid="ignore"):
+            pv = self.projection.astype(np.float64) @ self.view.astype(np.float64)
+            p = np.append(np.asarray(point, np.float64), 1.0)
+            clip = pv @ p
+            w = clip[3]
+            return bool(abs(clip[0]) <= w and abs(clip[1]) <= w
+                        and abs(clip[2]) <= w)
 
     def print(self) -> None:  # src/camera.rs:142-160
         print(f"width: {self.width}\nheight: {self.height}\naspect_ratio: {self.aspect_ratio}")

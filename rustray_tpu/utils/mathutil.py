@@ -101,12 +101,14 @@ def look_at_rh(eye, target, up) -> np.ndarray:
 def perspective(aspect: float, fovy: float, znear: float, zfar: float) -> np.ndarray:
     """nalgebra ``Perspective3::new(aspect, fovy, znear, zfar)`` homogeneous
     matrix (src/camera.rs:81). fovy in radians; right-handed, z in [-1, 1]."""
-    f = 1.0 / np.tan(fovy / 2.0)
-    # aspect is 0 until Camera.init(w, h) runs (loaders may rebuild
-    # matrices first); the placeholder matrix is replaced on init, so keep
-    # it finite instead of emitting divide-by-zero warnings (VERDICT r4 #9)
+    # aspect (and sometimes fovy, during the auto-camera search) is 0
+    # until Camera.init(w, h) runs; the placeholder matrix is replaced on
+    # init, so keep it finite instead of emitting divide-by-zero warnings
+    # (VERDICT r4 #9)
     if aspect <= 0.0:
         aspect = 1.0
+    tf = np.tan(fovy / 2.0)
+    f = 1.0 / tf if tf != 0.0 else np.float64(1e30)
     m = np.zeros((4, 4), dtype=np.float64)
     m[0, 0] = f / aspect
     m[1, 1] = f

@@ -244,7 +244,9 @@ def test_octet_round_trace_matches_dense(accel_scene):
     block-walk fallback for octets whose filtered lists overflow round 1."""
     from rustray_tpu.ops.octet_trace import trace_tris_octets
     _, sa, static, prep, w_lo, w_hi, tri_ok, cl_ok = accel_scene
-    for name, o, d, alive in _batches(sa, 512):
+    # 256-ray batches: the interpret-mode round kernels + fallback walk
+    # dominate suite wall-clock (205 s at 512 rays, ~4x less at 256)
+    for name, o, d, alive in _batches(sa, 256):
         t_d, i_d = closest_tri(o, d, prep, tri_ok, 1024)
         f_o, i_o, _ = trace_tris_octets(
             o, d, alive, None, prep, w_lo, w_hi, cl_ok, static.cluster_size,
@@ -257,9 +259,9 @@ def test_octet_round_trace_matches_dense(accel_scene):
                                    _tri_t(prep, o, d, np.asarray(i_d))[both],
                                    rtol=1e-4, atol=1e-5)
     # t_max + any-hit: occlusion booleans must be exact
-    name, o, d, alive = _batches(sa, 512)[1]
+    name, o, d, alive = _batches(sa, 256)[1]
     t_d, _ = closest_tri(o, d, prep, tri_ok, 1024)
-    tmax = jnp.full((512,), 4.0)
+    tmax = jnp.full((256,), 4.0)
     found_ref = (np.asarray(t_d) < 4.0) & np.asarray(alive)
     for mode in ("closest", "any"):
         f_m, i_m, _ = trace_tris_octets(
